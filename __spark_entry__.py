@@ -1,38 +1,694 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      flagship near-dup pipeline over `documents` at sf0.001:
+             MinHash -> LSH bands -> salted candidates -> exact Jaccard
+             verify -> label-propagation connected components.
+queries()    one entry per implemented operator family (SURVEY.md §2).
+oracle_sql() DuckDB twins; every SQL-expressible operator has one.
+
+Column-name/type parity with the oracles is load-bearing: every computed
+column is aliased identically on both sides and integer-valued computed
+columns are cast to BIGINT.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from who_owns_mass_processing_spark.config import DedupeConfig
+from who_owns_mass_processing_spark.functions import text as T
+from who_owns_mass_processing_spark.functions.vectors import cosine
+from who_owns_mass_processing_spark.operators import canonical as C
+from who_owns_mass_processing_spark.operators import dedupe as D
+from who_owns_mass_processing_spark.operators import joins as J
+from who_owns_mass_processing_spark.operators.connected_components import connected_components
+
+CFG = DedupeConfig()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Near-dup clustering of sf0.001 documents (LSH + exact verify + CC)."""
+    sf_dir = "/root/testdata/sf0.001"
+    return q_dedup_cc_assignments(spark, sf_dir)
 
+
+# ---------------------------------------------------------------------------
+# scan / project / filter  (S3, S4, P1, P2, P3, P4, P5, P6)
+# ---------------------------------------------------------------------------
+
+def q_scan_filter_project(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("lang") == "en") & (F.col("n_chars") >= 100))
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+def q_case_when(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_extendedprice") < 5000, F.lit("low"))
+        .when(F.col("l_extendedprice") < 20000, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", band.alias("price_band")
+    )
+
+
+def q_split_transform_union(spark, sf_dir):
+    """P4 split-transform-union: uppercase the en slice, reunite others."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    en = d.where(F.col("lang") == "en").withColumn("text", F.upper(F.col("text")))
+    rest = d.where(F.col("lang") != "en")
+    return en.unionByName(rest).select("doc_id", "lang", "text")
+
+
+def q_distinct(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+def q_row_id(spark, sf_dir):
+    w = Window.orderBy("n_name")
+    return (
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .withColumn("rid", F.row_number().over(w).cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins  (J1, J2, J3, J4, U3 anti)
+# ---------------------------------------------------------------------------
+
+def q_first_match_left_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    first_line = li.withColumnRenamed("l_orderkey", "o_orderkey")
+    out = J.first_match_left_join(
+        orders, first_line, ["o_orderkey"],
+        order_by=[F.asc("l_linenumber"), F.asc("l_quantity")],
+    )
+    return out.select("o_orderkey", "o_totalprice", "l_linenumber", "l_quantity")
+
+
+def q_semi_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), ["c_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q_anti_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), ["c_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_range_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").alias("l")
+    o = _t(spark, sf_dir, "orders").alias("o")
+    cond = (
+        (F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        & (F.col("l.l_shipdate") >= F.col("o.o_orderdate"))
+        & (F.col("l.l_shipdate") <= F.col("o.o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    )
+    return li.join(o, cond).select("l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
+
+
+def q_fuzzy_join(spark, sf_dir):
+    brands = _t(spark, sf_dir, "part").select("p_brand").distinct()
+    a = brands.select(F.col("p_brand").alias("brand_a"))
+    b = brands.select(F.col("p_brand").alias("brand_b"))
+    return (
+        a.join(b, F.col("brand_a") < F.col("brand_b"))
+        .withColumn("dist", F.levenshtein("brand_a", "brand_b").cast("long"))
+        .where(F.col("dist") <= 1)
+        .select("brand_a", "brand_b", "dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation / window  (A1-A9, O1-O3, U1)
+# ---------------------------------------------------------------------------
+
+def q_dense_group_id(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.orderBy("c_mktsegment")
+    return cust.withColumn("segment_id", F.dense_rank().over(w).cast("long"))
+
+
+def q_group_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_group_mode(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("event_type")
+    )
+    return C.group_mode(ev, "user_id", "event_type", "modal_event")
+
+
+def q_minmax_rollup(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+        F.count("*").alias("n_parts"),
+    )
+
+
+def q_string_set_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return C.string_set_agg(ev, "user_id", "event_type", "event_types")
+
+
+def q_group_fill(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "lang_gap", F.nullif(F.col("lang"), F.lit("de"))
+    )
+    filled = C.group_fill(d, ["source"], ["lang_gap"])
+    return filled.select("doc_id", "source", F.col("lang_gap").alias("lang_filled"))
+
+
+def q_uniqueness_flag(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return C.uniqueness_flag(d, ["source", "lang"], "unique_in_source").select(
+        "doc_id", "source", "lang", "unique_in_source"
+    )
+
+
+def q_summary_metrics(spark, sf_dir):
+    """TPC-H Q1-shaped rollup (A8)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top1_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return C.top1_per_group(
+        o, ["o_custkey"], [F.desc("o_orderdate"), F.asc("o_orderkey")]
+    ).select("o_custkey", "o_orderkey", "o_orderdate")
+
+
+def q_limit_sorted(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(20).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+def q_union_by_name(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)
+
+
+def q_join_agg_topk(spark, sf_dir):
+    """TPC-H Q3-shaped: join + agg + deterministic top-k."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    agg = joined.groupBy("l_orderkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+
+
+def q_windowed_event_counts(spark, sf_dir):
+    """Tumbling 1-hour event rollup (batch twin of the streaming agg)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis surface
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint_md5(F.col("text")).alias("fingerprint"))
+
+
+def q_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+def q_stopword_ratio(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(T.stopword_ratio(F.col("text")), 6).alias("stop_ratio"))
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
+
+
+# ---------------------------------------------------------------------------
+# dedup surface
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.exact_dup_groups(d, "doc_id", "text").select(
+        "doc_id", "fingerprint", "group_size", "is_canonical"
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", CFG.shingle_k, CFG.jaccard_threshold)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """LSH-blocked + exact-verified near-dup pairs. With (b=32, r=4) the
+    miss probability at J>=0.8 is (1-0.8^4)^32 ~ 5e-8, so the output
+    equals the exact all-pairs oracle."""
+    d = _t(spark, sf_dir, "documents")
+    pairs, _ = D.lsh_near_dup_pairs(d, "doc_id", "text", CFG)
+    return pairs.select("a", "b", "jaccard")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(d, "doc_id", "text", radius=3, n_bands=4)
+
+
+def q_dedup_cc_assignments(spark, sf_dir):
+    """Full dedup chain: LSH pairs -> connected components -> singletons."""
+    d = _t(spark, sf_dir, "documents")
+    pairs, _ = D.lsh_near_dup_pairs(d, "doc_id", "text", CFG)
+    cc = connected_components(pairs.select("a", "b"))
+    out = C.with_singletons(d.select("doc_id"), "doc_id", cc)
+    return out.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search surface
+# ---------------------------------------------------------------------------
+
+def q_embedding_cosine_pairs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", F.round(sim, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.45)
+    )
+
+
+def q_embedding_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    joined = e.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
+    sim = F.round(cosine(F.col("embedding"), F.col("qvec")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        joined.select("query_id", "vec_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "scan_filter_project": q_scan_filter_project,
+        "case_when": q_case_when,
+        "split_transform_union": q_split_transform_union,
+        "distinct": q_distinct,
+        "row_id": q_row_id,
+        "first_match_left_join": q_first_match_left_join,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "range_join": q_range_join,
+        "fuzzy_join": q_fuzzy_join,
+        "dense_group_id": q_dense_group_id,
+        "group_counts": q_group_counts,
+        "group_mode": q_group_mode,
+        "minmax_rollup": q_minmax_rollup,
+        "string_set_agg": q_string_set_agg,
+        "group_fill": q_group_fill,
+        "uniqueness_flag": q_uniqueness_flag,
+        "summary_metrics": q_summary_metrics,
+        "top1_per_group": q_top1_per_group,
+        "limit_sorted": q_limit_sorted,
+        "union_by_name": q_union_by_name,
+        "join_agg_topk": q_join_agg_topk,
+        "windowed_event_counts": q_windowed_event_counts,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "quality_score": q_quality_score,
+        "stopword_ratio": q_stopword_ratio,
+        "lang_id": q_lang_id,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_cc_assignments": q_dedup_cc_assignments,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "embedding_topk": q_embedding_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(length({t}) - 2, 1)), i -> substr({t}, i, 3)))"
+)
+_COS = (
+    "list_sum(list_transform(generate_series(1, 64), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(generate_series(1, 64), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))"
+)
+
+
+def _jaccard_pairs_sql(threshold: float) -> str:
+    sh = _SHINGLES.format(t=_NORM.format(c="text"))
+    return f"""
+    WITH sh AS (SELECT doc_id, {sh} AS s FROM documents)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {threshold}
     """
-    return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm_text = _NORM.format(c="text")
+    stop_list = "('" + "','".join(T.STOPWORDS) + "')"
+    lang_markers = {
+        "en": ["the", "and", "of", "with"],
+        "de": ["der", "und", "die", "nicht"],
+        "fr": ["le", "la", "et", "les"],
+        "es": ["el", "los", "las", "una"],
+        "pt": ["o", "os", "uma", "nao"],
+    }
+    toks = f"list_filter(string_split({norm_text}, ' '), w -> length(w) > 0)"
+    hits = {
+        lang: f"len(list_filter({toks}, w -> w IN ('" + "','".join(ws) + "')))"
+        for lang, ws in lang_markers.items()
+    }
+    best = f"greatest({hits['en']}, {hits['de']}, {hits['fr']}, {hits['es']}, {hits['pt']})"
+    lang_case = (
+        f"CASE WHEN {best} = 0 THEN 'und' "
+        + " ".join(
+            f"WHEN {hits[lang]} = {best} THEN '{lang}'" for lang in ["en", "de", "fr", "es", "pt"]
+        )
+        + " ELSE 'und' END"
+    )
+    mean_wl = (
+        f"CASE WHEN len({toks}) = 0 THEN 0.0 ELSE "
+        f"list_sum(list_transform({toks}, w -> length(w)))::DOUBLE / len({toks}) END"
+    )
+    density = (
+        "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+        "length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text) END"
+    )
+    len_band = "CASE WHEN length(text) < 20 THEN 0.2 WHEN length(text) < 100 THEN 0.6 ELSE 1.0 END"
+    wl_band = f"CASE WHEN {mean_wl} >= 3.0 AND {mean_wl} <= 10.0 THEN 1.0 ELSE 0.5 END"
+
+    cos_ab = _COS.format(a="a.embedding", b="b.embedding")
+    cos_q = _COS.format(a="e.embedding", b="q.embedding")
+
+    return {
+        "scan_filter_project": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE lang = 'en' AND n_chars >= 100
+        """,
+        "case_when": """
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_extendedprice < 5000 THEN 'low'
+                        WHEN l_extendedprice < 20000 THEN 'mid'
+                        ELSE 'high' END AS price_band
+            FROM lineitem
+        """,
+        "split_transform_union": """
+            SELECT doc_id, lang,
+                   CASE WHEN lang = 'en' THEN upper(text) ELSE text END AS text
+            FROM documents
+        """,
+        "distinct": "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+        "row_id": """
+            SELECT n_nationkey, n_name,
+                   row_number() OVER (ORDER BY n_name) AS rid
+            FROM nation
+        """,
+        "first_match_left_join": """
+            WITH first_line AS (
+              SELECT l_orderkey, l_linenumber, l_quantity,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_linenumber, l_quantity) AS rk
+              FROM lineitem
+            )
+            SELECT o.o_orderkey, o.o_totalprice, f.l_linenumber, f.l_quantity
+            FROM orders o LEFT JOIN first_line f
+              ON o.o_orderkey = f.l_orderkey AND f.rk = 1
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "range_join": """
+            SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, l.l_shipdate
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate >= o.o_orderdate
+             AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+        """,
+        "fuzzy_join": """
+            WITH brands AS (SELECT DISTINCT p_brand FROM part)
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   levenshtein(a.p_brand, b.p_brand) AS dist
+            FROM brands a JOIN brands b ON a.p_brand < b.p_brand
+            WHERE levenshtein(a.p_brand, b.p_brand) <= 1
+        """,
+        "dense_group_id": """
+            SELECT c_custkey, c_mktsegment,
+                   dense_rank() OVER (ORDER BY c_mktsegment) AS segment_id
+            FROM customer
+        """,
+        "group_counts": """
+            SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "group_mode": """
+            WITH counts AS (
+              SELECT user_id, event_type, count(*) AS n
+              FROM events GROUP BY user_id, event_type
+            ), ranked AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+              FROM counts
+            )
+            SELECT user_id, event_type AS modal_event FROM ranked WHERE rk = 1
+        """,
+        "minmax_rollup": """
+            SELECT p_brand, min(p_retailprice) AS min_price,
+                   max(p_retailprice) AS max_price, count(*) AS n_parts
+            FROM part GROUP BY p_brand
+        """,
+        "string_set_agg": """
+            SELECT user_id,
+                   string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types
+            FROM events GROUP BY user_id
+        """,
+        "group_fill": """
+            SELECT doc_id, source,
+                   coalesce(nullif(lang, 'de'),
+                            max(nullif(lang, 'de')) OVER (PARTITION BY source)) AS lang_filled
+            FROM documents
+        """,
+        "uniqueness_flag": """
+            SELECT doc_id, source, lang,
+                   (count(*) OVER (PARTITION BY source, lang) = 1) AS unique_in_source
+            FROM documents
+        """,
+        "summary_metrics": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top1_per_group": """
+            WITH ranked AS (
+              SELECT o_custkey, o_orderkey, o_orderdate,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate DESC, o_orderkey) AS rk
+              FROM orders
+            )
+            SELECT o_custkey, o_orderkey, o_orderdate FROM ranked WHERE rk = 1
+        """,
+        "limit_sorted": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """,
+        "union_by_name": """
+            SELECT c_custkey AS entity_id, c_name AS name, c_acctbal AS acctbal,
+                   c_mktsegment AS segment
+            FROM customer
+            UNION ALL
+            SELECT s_suppkey, s_name, s_acctbal, NULL FROM supplier
+        """,
+        "join_agg_topk": """
+            SELECT l.l_orderkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY l.l_orderkey
+            ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+        """,
+        "windowed_event_counts": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                   length(text) AS n_chars_actual
+            FROM documents
+        """,
+        "fingerprint": f"SELECT doc_id, md5({norm_text}) AS fingerprint FROM documents",
+        "quality_score": f"""
+            SELECT doc_id,
+                   round({len_band} * 0.4 + {density} * 0.4 + {wl_band} * 0.2, 6) AS quality
+            FROM documents
+        """,
+        "stopword_ratio": f"""
+            SELECT doc_id,
+                   round(CASE WHEN len({toks}) = 0 THEN 0.0
+                              ELSE len(list_filter({toks}, w -> w IN {stop_list}))::DOUBLE
+                                   / len({toks}) END, 6) AS stop_ratio
+            FROM documents
+        """,
+        "lang_id": f"SELECT doc_id, {lang_case} AS lang_guess FROM documents",
+        "exact_dedup": f"""
+            WITH fp AS (SELECT doc_id, md5({norm_text}) AS fingerprint FROM documents),
+            g AS (SELECT fingerprint, count(*) AS group_size, min(doc_id) AS canon
+                  FROM fp GROUP BY fingerprint)
+            SELECT fp.doc_id, fp.fingerprint, g.group_size,
+                   (fp.doc_id = g.canon) AS is_canonical
+            FROM fp JOIN g USING (fingerprint)
+        """,
+        "ngram_jaccard_pairs": _jaccard_pairs_sql(0.80),
+        "minhash_lsh_pairs": _jaccard_pairs_sql(0.80),
+        "dedup_cc_assignments": f"""
+            WITH RECURSIVE pairs AS ({_jaccard_pairs_sql(0.80)}),
+            edges AS (
+              SELECT a AS src, b AS dst FROM pairs
+              UNION ALL SELECT b, a FROM pairs
+            ),
+            walk(node, label) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+              WHERE w.label < e.dst
+            )
+            SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+        """,
+        "embedding_cosine_pairs": f"""
+            SELECT a.vec_id AS a, b.vec_id AS b, round({cos_ab}, 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round({cos_ab}, 6) >= 0.45
+        """,
+        "embedding_topk": f"""
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id,
+                     round({cos_q}, 6) AS cos_sim
+              FROM embeddings e
+              JOIN embeddings q ON q.vec_id < 5 AND e.vec_id != q.vec_id
+            )
+            SELECT query_id, vec_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM scored
+            QUALIFY rank <= 5
+        """,
+        # simhash_pairs: intentionally no oracle (hash-seeded banding is not
+        # reasonably SQL-expressible) -> driver records rows-only check.
+    }

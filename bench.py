@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32), plus the
+flagship images near-dup pipeline on a deterministic synthetic images
+table (cached under /tmp, seed-fixed — no external data).
+
+Timing excludes SparkSession startup; each query is materialized with a
+noop-format write (computes every column, no sink cost).
+
+Output:
+  {"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": 0.1,
+   "images_per_sec": T, "cpus": C}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "dedup_cc_assignments",
+    "minhash_lsh_pairs",
+    "exact_dedup",
+    "simhash_pairs",
+    "summary_metrics",
+    "join_agg_topk",
+    "embedding_topk",
+    "lang_id",
+    "quality_score",
+    "windowed_event_counts",
+]
+
+BENCH_IMAGES_BASE = int(os.environ.get("BENCH_IMAGES_BASE", "2000"))
+
+
+def ensure_bench_images(n_base: int, seed: int = 42) -> str:
+    cache = f"/tmp/spark_graft_bench_images_n{n_base}_s{seed}"
+    marker = os.path.join(cache, "_DONE")
+    if not os.path.exists(marker):
+        from who_owns_mass_processing_spark.synth import write_images_parquet
+
+        shutil.rmtree(cache, ignore_errors=True)
+        write_images_parquet(cache, n_base=n_base, seed=seed)
+        open(marker, "w").write("ok")
+    return os.path.join(cache, "images.parquet")
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+
+    import __spark_entry__ as entry_mod
+    from who_owns_mass_processing_spark.config import DedupeConfig
+    from who_owns_mass_processing_spark.pipeline.run import run_pipeline
+    from who_owns_mass_processing_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship images pipeline (fresh workdir every run: no resume credit)
+    images_path = ensure_bench_images(BENCH_IMAGES_BASE)
+    workdir = f"/tmp/spark_graft_bench_stages_{os.getpid()}"
+    shutil.rmtree(workdir, ignore_errors=True)
+    images = spark.read.parquet(images_path)
+    n_images = images.count()
+    t0 = time.time()
+    out = run_pipeline(spark, images, workdir, DedupeConfig())
+    materialize(out["assignments"])
+    pipeline_sec = round(time.time() - t0, 3)
+    timings["images_pipeline"] = pipeline_sec
+    shutil.rmtree(workdir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "images_per_sec": round(n_images / pipeline_sec, 2),
+                "n_images": n_images,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

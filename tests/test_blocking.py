@@ -1,0 +1,49 @@
+"""Skew control: salting must not change the candidate set; stop bands
+must drop and be logged."""
+import pandas as pd
+from pyspark.sql import functions as F
+
+from who_owns_mass_processing_spark.operators.blocking import candidate_pairs
+
+
+def _bands_df(spark, n_hot=30, n_cold=6):
+    rows = [("hot", 0, 7777) for _ in range(n_hot)]
+    rows = [(f"h{i}", 0, 7777) for i in range(n_hot)]
+    rows += [(f"c{i}", 1, 1000 + i // 2) for i in range(n_cold)]  # buckets of 2
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "band_id", "band_hash"])
+    )
+
+
+def test_salting_preserves_pair_set(spark):
+    df = _bands_df(spark)
+    pairs_unsalted, _ = candidate_pairs(df, "id", cap=1000, hard_cap=10**6)
+    pairs_salted, metrics = candidate_pairs(df, "id", cap=5, hard_cap=10**6)
+    a = set(map(tuple, pairs_unsalted.toPandas().values))
+    b = set(map(tuple, pairs_salted.toPandas().values))
+    assert a == b
+    m = {r.bucket_class: r for r in metrics.collect()}
+    assert "salted" in m and m["salted"].buckets == 1
+
+
+def test_hot_bucket_pair_count_exact(spark):
+    df = _bands_df(spark, n_hot=30, n_cold=0)
+    pairs, _ = candidate_pairs(df, "id", cap=4, hard_cap=10**6)
+    assert pairs.count() == 30 * 29 // 2
+
+
+def test_stop_band_dropped_and_logged(spark):
+    df = _bands_df(spark, n_hot=50, n_cold=4)
+    pairs, metrics = candidate_pairs(df, "id", cap=5, hard_cap=40)
+    ids = pairs.select("a").union(pairs.select("b")).distinct().toPandas().iloc[:, 0]
+    assert not any(str(i).startswith("h") for i in ids)  # stop band contributed nothing
+    m = {r.bucket_class: r for r in metrics.collect()}
+    assert m["dropped_stop_band"].rows == 50
+
+
+def test_cross_band_dedup(spark):
+    # same pair found in two bands -> emitted once
+    rows = [("x", 0, 1), ("y", 0, 1), ("x", 1, 2), ("y", 1, 2)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "band_id", "band_hash"]))
+    pairs, _ = candidate_pairs(df, "id")
+    assert pairs.count() == 1

@@ -1,0 +1,118 @@
+"""End-to-end images pipeline: golden recall gate, per-row invariants,
+resume/checkpoint protocol."""
+import pandas as pd
+import pytest
+
+from who_owns_mass_processing_spark.config import DedupeConfig
+from who_owns_mass_processing_spark.pipeline.checkpoint import StageCatalog
+from who_owns_mass_processing_spark.pipeline.run import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, synth_small, tmp_path_factory):
+    workdir = str(tmp_path_factory.mktemp("stages"))
+    images = spark.read.parquet(synth_small["images"])
+    out = run_pipeline(spark, images, workdir, DedupeConfig())
+    return out, workdir, synth_small
+
+
+def test_recall_gate(pipeline_out):
+    """north_rule acceptance: dup-pair recall >= 0.99 vs golden pairs."""
+    out, _, synth = pipeline_out
+    assigns = out["assignments"].toPandas().set_index("image_id").cluster_id
+    golden = pd.read_parquet(synth["golden_pairs"])
+    dup = golden[golden.is_dup]
+    hits = sum(assigns[r.a] == assigns[r.b] for r in dup.itertuples())
+    assert hits / max(len(dup), 1) >= 0.99, f"recall {hits}/{len(dup)}"
+
+
+def test_no_hard_negative_merges(pipeline_out):
+    out, _, synth = pipeline_out
+    assigns = out["assignments"].toPandas().set_index("image_id").cluster_id
+    golden = pd.read_parquet(synth["golden_pairs"])
+    neg = golden[golden.kind == "hardneg"]
+    merged = sum(assigns[r.a] == assigns[r.b] for r in neg.itertuples())
+    assert merged == 0
+
+
+def test_every_image_assigned_exactly_once(pipeline_out):
+    out, _, synth = pipeline_out
+    assigns = out["assignments"].toPandas()
+    images = pd.read_parquet(synth["images"])
+    assert sorted(assigns.image_id) == sorted(images.image_id)
+    assert assigns.image_id.is_unique
+
+
+def test_cluster_table_consistent(pipeline_out):
+    out, _, _ = pipeline_out
+    clusters = out["clusters"].toPandas()
+    assigns = out["assignments"].toPandas()
+    sizes = assigns.groupby("cluster_id").size()
+    got = clusters.set_index("cluster_id")["size"]
+    assert (got.sort_index() == sizes.sort_index()).all()
+    # exemplar is the minimum member id (deterministic canonical pick)
+    min_member = assigns.groupby("cluster_id").image_id.min()
+    assert (clusters.set_index("cluster_id").exemplar_id.sort_index() == min_member.sort_index()).all()
+
+
+def test_resume_is_byte_identical_and_fast(spark, pipeline_out):
+    out, workdir, synth = pipeline_out
+    images = spark.read.parquet(synth["images"])
+    out2 = run_pipeline(spark, images, workdir, DedupeConfig())
+    a1 = out["assignments"].toPandas().sort_values("image_id").reset_index(drop=True)
+    a2 = out2["assignments"].toPandas().sort_values("image_id").reset_index(drop=True)
+    assert a1.equals(a2)
+
+
+def test_resume_after_stage_kill(spark, pipeline_out):
+    """Invalidate a mid-pipeline stage (simulating a kill between stages);
+    rerun recomputes only from there and reproduces identical output."""
+    out, workdir, synth = pipeline_out
+    # materialize BEFORE the rerun: the overwrite invalidates lazy handles
+    # (an inherent property of overwrite-in-place parquet; Iceberg snapshots
+    # would keep the old snapshot readable)
+    a1 = out["assignments"].toPandas().sort_values("image_id").reset_index(drop=True)
+    cfg = DedupeConfig()
+    cat = StageCatalog(spark, workdir, cfg.fingerprint())
+    for stage in ("image_pairs", "edges", "assignments", "clusters", "metrics"):
+        cat.invalidate(stage)
+    images = spark.read.parquet(synth["images"])
+    out2 = run_pipeline(spark, images, workdir, cfg)
+    a2 = out2["assignments"].toPandas().sort_values("image_id").reset_index(drop=True)
+    assert a1.equals(a2)
+
+
+def test_config_change_invalidates_checkpoints(spark, pipeline_out):
+    out, workdir, synth = pipeline_out
+    cat = StageCatalog(spark, workdir, DedupeConfig(jaccard_threshold=0.9).fingerprint())
+    assert not cat.is_complete("assignments")
+
+
+def test_lineage_records_all_stages(pipeline_out):
+    out, _, _ = pipeline_out
+    lineage = out["lineage"].toPandas()
+    for stage in ("ingest", "signatures", "caption_pairs", "image_pairs",
+                  "edges", "assignments", "clusters"):
+        assert stage in set(lineage.stage)
+    assert lineage.snapshot_id.is_unique
+
+
+def test_phash_input_column_matches_recomputed(spark, synth_small):
+    """Per-row invariant: generator-provided phash == UDF-recomputed phash
+    from decoded bytes (input_hint parity check)."""
+    from pyspark.sql import functions as F
+
+    from who_owns_mass_processing_spark.functions.images import image_meta_udf
+
+    images = spark.read.parquet(synth_small["images"])
+    meta = image_meta_udf()
+    bad = (
+        images.withColumn("m", meta(F.col("bytes")))
+        .where(
+            (F.col("m.phash") != F.col("phash"))
+            | (F.col("m.w") != F.col("w"))
+            | (F.col("m.h") != F.col("h"))
+        )
+        .count()
+    )
+    assert bad == 0

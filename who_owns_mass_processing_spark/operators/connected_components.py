@@ -1,0 +1,111 @@
+"""Connected components via iterative DataFrame label propagation.
+
+Reference analog: igraph graph_from_data_frame + cluster_fast_greedy
+(R/deduplicaters.R:225-246).  Per north_rule we use min-label-propagation
+connected components (CC superset-of fast-greedy communities protects the
+dup-pair recall metric — SURVEY.md §7 risk table).
+
+Algorithm (driver-side fixpoint loop, all data distributed):
+  labels(node) = node
+  repeat: label'(n) = min(label(n), min over neighbors m of label(m))
+  until no label changes (counted with a single agg per iteration).
+
+Scale properties:
+  * each iteration = one shuffle join (edges x labels on src) + one
+    groupBy min — both partial-aggregated; near-dup similarity graphs
+    have tiny diameters (dup families), so iterations ~ O(log n) and in
+    practice < 10;
+  * lineage is cut with localCheckpoint every `checkpoint_every`
+    iterations (Catalyst has no fixpoint operator; an unbounded plan tree
+    would blow the driver — SURVEY.md §4 "Iteration");
+  * optionally each iteration's labels persist to the stage catalog so a
+    killed run resumes mid-fixpoint (pipeline/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iterations: int = 50,
+    checkpoint_every: int = 5,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """edges(src, dst) [+ optional nodes(node) for singletons]
+    -> (node, component) where component = min node id in the component.
+
+    Node ids may be any orderable type (string image_ids work).
+    """
+    # materialize the (static) undirected edge list once — every iteration
+    # joins against it, so it must not drag the upstream plan along
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    if nodes is not None:
+        labels = (
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+            .distinct()
+            .join(labels, "node", "left")
+            .select("node", F.coalesce("label", "node").alias("label"))
+        )
+    labels = labels.localCheckpoint(eager=True)
+
+    for _it in range(max_iterations):
+        # neighbor minimum: join edges to current labels of v, min per u
+        neigh = (
+            und.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("u", "node")
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                (F.col("label") != F.least(F.col("label"), F.coalesce("nlabel", "label"))).alias(
+                    "_changed"
+                ),
+            )
+            # eager checkpoint every iteration: keeps the plan depth O(1)
+            # (one join from a materialized table) instead of O(iterations);
+            # `checkpoint_every` governs *durable* catalog checkpoints at
+            # cluster scale — in local mode localCheckpoint suffices
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.agg(F.sum(F.col("_changed").cast("long"))).collect()[0][0] or 0
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def components_py(edges: list[tuple], nodes: list | None = None) -> dict:
+    """Driver-side union-find mirror for pytest golden checks."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for n in nodes or []:
+        find(n)
+    return {n: find(n) for n in parent}

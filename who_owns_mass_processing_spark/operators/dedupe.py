@@ -1,0 +1,140 @@
+"""High-level dedup operators: exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine — the training-data-pipeline dedup surface,
+each composable over any (id, text) or (id, vector) table.
+
+Reference analogs: dedupe_naive exact blocking (R/deduplicaters.R:208-223)
+and the cosine block-verify-cluster chain (:313-378).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from who_owns_mass_processing_spark.config import DedupeConfig
+from who_owns_mass_processing_spark.functions import text as T
+from who_owns_mass_processing_spark.functions.minhash import (
+    band_explode,
+    minhash_udf,
+    signature_udf,
+)
+from who_owns_mass_processing_spark.functions.simhash import simhash_udf
+from who_owns_mass_processing_spark.operators.blocking import candidate_pairs
+from who_owns_mass_processing_spark.operators.verify import verify_jaccard
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: md5-of-normalized-text fingerprint; returns
+    (id, fingerprint, group_size, is_canonical) — canonical = min id.
+    One shuffle (groupBy fingerprint), map-side partial agg."""
+    fp = df.select(F.col(id_col), T.fingerprint_md5(F.col(text_col)).alias("fingerprint"))
+    groups = fp.groupBy("fingerprint").agg(
+        F.count("*").alias("group_size"), F.min(id_col).alias("_canon")
+    )
+    return fp.join(groups, "fingerprint").select(
+        id_col,
+        "fingerprint",
+        "group_size",
+        (F.col(id_col) == F.col("_canon")).alias("is_canonical"),
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, cfg: DedupeConfig) -> DataFrame:
+    """(id, fingerprint, codes, minhash) — the signature stage.
+
+    One Arrow pass emits both the MinHash signature (blocking) and the
+    sorted shingle-code array (exact-verify feature: longs, not strings).
+    `fingerprint` (md5 of normalized text, builtin) feeds the exact tier.
+    """
+    sig = signature_udf(cfg.shingle_k, cfg.num_perm, cfg.minhash_seed)
+    return df.select(
+        F.col(id_col),
+        T.fingerprint_md5(F.col(text_col)).alias("fingerprint"),
+        sig(F.col(text_col)).alias("_sig"),
+    ).select(id_col, "fingerprint", F.col("_sig.codes").alias("codes"),
+             F.col("_sig.minhash").alias("minhash"))
+
+
+def exact_fingerprint_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
+    """All (a<b, jaccard=1.0) pairs of identical normalized text — the
+    exact tier (reference dedupe_naive, R/deduplicaters.R:208-223).
+
+    Identical texts must never depend on LSH banding: their band buckets
+    are exactly the degenerate stop-band buckets the skew control drops.
+    Group sizes are bounded in practice; at extreme scale replace the
+    within-group all-pairs by star edges to the group minimum (same
+    connected components)."""
+    fa = sigs.select(F.col(id_col).alias("a"), "fingerprint")
+    fb = sigs.select(F.col(id_col).alias("b"), "fingerprint")
+    return (
+        fa.join(fb, "fingerprint")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(1.0).alias("jaccard"))
+    )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, cfg: DedupeConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Full block-then-verify: MinHash -> LSH bands -> candidates (salted,
+    stop-bands dropped) -> exact Jaccard on shingle codes >= threshold,
+    UNION exact-fingerprint pairs. Returns (pairs, skew_metrics);
+    pairs = (a, b, jaccard)."""
+    n_rows = df.count()  # cheap parquet-stats count; sizes the stop-band threshold
+    sigs = minhash_signatures(df, id_col, text_col, cfg)
+    bands = band_explode(sigs, "minhash", id_col, cfg.bands, cfg.rows_per_band)
+    cands, metrics = candidate_pairs(
+        bands, id_col, cap=cfg.band_bucket_cap, hard_cap=cfg.stop_band_threshold(n_rows)
+    )
+    verified = verify_jaccard(
+        cands, sigs.select(id_col, "codes"), id_col, "codes", cfg.jaccard_threshold
+    )
+    pairs = (
+        verified.unionByName(exact_fingerprint_pairs(sigs, id_col))
+        .groupBy("a", "b")
+        .agg(F.max("jaccard").alias("jaccard"))
+    )
+    return pairs, metrics
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int, threshold: float
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard >= threshold (a < b) — O(n^2)
+    oracle-scale baseline, pure builtins (the DuckDB-checkable twin of
+    `lsh_near_dup_pairs`; at scale always use the LSH path)."""
+    sh = df.select(
+        F.col(id_col), T.char_shingles(F.col(text_col), k).alias("_sh")
+    )
+    a = sh.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("_sh").alias("_sb"))
+    joined = a.join(b, F.col("a") < F.col("b"))
+    return joined.select(
+        "a", "b", F.round(T.jaccard_arrays(F.col("_sa"), F.col("_sb")), 6).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, radius: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """SimHash banded near-dup: 64-bit simhash, 16-bit band blocking
+    (pigeonhole guarantees recall for Hamming <= n_bands-1... radius<=3
+    with 4 bands), verify with bit_count. Returns (a, b, hamming)."""
+    from who_owns_mass_processing_spark.functions.images import phash_bands
+
+    sh = df.select(
+        F.col(id_col), simhash_udf()(T.normalize_text(F.col(text_col))).alias("simhash")
+    )
+    bands = phash_bands(sh, "simhash", id_col, n_bands=n_bands)
+    cands, _ = candidate_pairs(bands, id_col)
+    fa = sh.select(F.col(id_col).alias("a"), F.col("simhash").alias("_ha"))
+    fb = sh.select(F.col(id_col).alias("b"), F.col("simhash").alias("_hb"))
+    return (
+        cands.join(fa, "a")
+        .join(fb, "b")
+        .select(
+            "a", "b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= radius)
+    )

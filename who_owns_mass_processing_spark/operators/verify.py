@@ -1,0 +1,96 @@
+"""Exact verification of banded candidate pairs (block-then-verify).
+
+Reference analog: the reference *blocks* by name/address then keeps only
+pairs whose TF-IDF cosine clears min_simil (0.85 inst / 0.95 individual,
+R/deduplicaters.R:342-346, config.R:28-29).  Here:
+
+  caption tier  exact Jaccard over char-shingle arrays (builtins:
+                array_intersect — no Python) >= cfg.jaccard_threshold;
+  image tier    popcount Hamming over pHash (builtin bit_count)
+                <= cfg.hamming_radius, plus for *lossy* formats a PSNR
+                >= 40 dB decoded-pixel check (pandas UDF) — the two-tier
+                strict/loose rule mirroring the reference's 0.85/0.95.
+
+Scale notes: the verify join re-attaches per-id features by shuffling on
+id — bytes are re-joined ONLY for the lossy-pair PSNR subset (tiny), the
+Jaccard verify carries shingle arrays not raw text, and every join is a
+plain equi-join AQE can re-plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from who_owns_mass_processing_spark.functions.images import psnr_pair_udf
+from who_owns_mass_processing_spark.functions.text import jaccard_arrays
+
+
+def verify_jaccard(
+    pairs: DataFrame,
+    features: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold: float,
+) -> DataFrame:
+    """pairs(a,b) x features(id, shingles) -> (a, b, jaccard) passing rows."""
+    fa = features.select(F.col(id_col).alias("a"), F.col(shingle_col).alias("_sa"))
+    fb = features.select(F.col(id_col).alias("b"), F.col(shingle_col).alias("_sb"))
+    return (
+        pairs.join(fa, "a")
+        .join(fb, "b")
+        .select("a", "b", F.round(jaccard_arrays(F.col("_sa"), F.col("_sb")), 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def verify_hamming(
+    pairs: DataFrame,
+    features: DataFrame,
+    id_col: str,
+    hash_col: str,
+    radius: int,
+) -> DataFrame:
+    """pairs(a,b) x features(id, hash64) -> (a, b, hamming) within radius.
+    Pure JVM: bit_count(xor)."""
+    fa = features.select(F.col(id_col).alias("a"), F.col(hash_col).alias("_ha"))
+    fb = features.select(F.col(id_col).alias("b"), F.col(hash_col).alias("_hb"))
+    return (
+        pairs.join(fa, "a")
+        .join(fb, "b")
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= radius)
+    )
+
+
+def verify_psnr(
+    pairs: DataFrame,
+    blobs: DataFrame,
+    id_col: str,
+    bytes_col: str,
+    fmt_col: str,
+    min_db: float,
+) -> DataFrame:
+    """Lossy-tier pixel verify: pairs where either side is a lossy format
+    must clear PSNR >= min_db on decoded pixels; lossless-only pairs pass
+    through (their Hamming check suffices — exact pixels).
+
+    Returns (a, b, psnr, lossy) for ALL input pairs that pass.
+    """
+    fa = blobs.select(
+        F.col(id_col).alias("a"), F.col(bytes_col).alias("_ba"), F.col(fmt_col).alias("_fa")
+    )
+    fb = blobs.select(
+        F.col(id_col).alias("b"), F.col(bytes_col).alias("_bb"), F.col(fmt_col).alias("_fb")
+    )
+    lossy = F.col("_fa").isin("jpeg", "qjp") | F.col("_fb").isin("jpeg", "qjp")
+    joined = pairs.join(fa, "a").join(fb, "b").withColumn("lossy", lossy)
+    udf = psnr_pair_udf()
+    scored = joined.withColumn(
+        "psnr", F.when(F.col("lossy"), udf(F.col("_ba"), F.col("_bb"))).otherwise(F.lit(999.0))
+    )
+    return scored.where(F.col("psnr") >= min_db).select("a", "b", "psnr", "lossy")

@@ -1,0 +1,182 @@
+"""The flagship end-to-end pipeline over the `images` table.
+
+Stage DAG (each stage a checkpointed table — SURVEY.md §3 target
+lifecycle; reference analog: the load -> proc -> dedupe staged run with
+materialization barriers, R/runner.R:1-41):
+
+  ingest          project (image_id, fmt, caption, phash); `bytes` is NOT
+                  carried forward (scale rule: payload never shuffles)
+  signatures      caption fingerprint + shingle codes + MinHash (one
+                  Arrow pass) + pHash
+  caption_pairs   LSH bands -> salted candidates -> exact Jaccard >= tau
+  image_pairs     pHash byte-bands -> candidates -> bit_count Hamming <= r
+                  -> PSNR >= 40 dB decoded-pixel verify for lossy pairs
+                  (re-joins `bytes` for only that pair subset)
+  edges           caption tier UNION image tier  (dedupe_network analog,
+                  R/deduplicaters.R:248-288: two similarity keys fused)
+  assignments     connected components + singleton fallback
+  clusters        exemplar = min image_id, modal caption, size
+  metrics         band-skew classes + per-stage row counts (lineage)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from who_owns_mass_processing_spark.config import DedupeConfig
+from who_owns_mass_processing_spark.operators.blocking import candidate_pairs
+from who_owns_mass_processing_spark.operators.canonical import cluster_exemplars, with_singletons
+from who_owns_mass_processing_spark.operators.connected_components import connected_components
+from who_owns_mass_processing_spark.operators.dedupe import minhash_signatures
+from who_owns_mass_processing_spark.operators.verify import (
+    verify_hamming,
+    verify_jaccard,
+    verify_psnr,
+)
+from who_owns_mass_processing_spark.pipeline.checkpoint import StageCatalog
+
+
+def run_pipeline(
+    spark: SparkSession,
+    images: DataFrame,
+    workdir: str,
+    cfg: DedupeConfig | None = None,
+    refresh: bool = False,
+) -> dict[str, DataFrame]:
+    cfg = cfg or DedupeConfig()
+    cat = StageCatalog(spark, workdir, cfg.fingerprint())
+
+    # --- ingest: strip payload immediately ---------------------------------
+    def _ingest() -> DataFrame:
+        return images.select("image_id", "fmt", "caption", "phash")
+
+    ingested = cat.read_or_compute("ingest", _ingest)
+
+    # --- signatures ---------------------------------------------------------
+    def _signatures() -> DataFrame:
+        sigs = minhash_signatures(ingested, "image_id", "caption", cfg)
+        return sigs.join(ingested.select("image_id", "phash", "fmt"), "image_id")
+
+    sigs = cat.read_or_compute("signatures", _signatures)
+
+    n_rows = ingested.count()
+    stop_cap = cfg.stop_band_threshold(n_rows)
+
+    # --- caption tier ---------------------------------------------------------
+    def _caption_pairs() -> DataFrame:
+        from who_owns_mass_processing_spark.functions.minhash import band_explode
+        from who_owns_mass_processing_spark.operators.dedupe import (
+            exact_fingerprint_pairs,
+        )
+
+        bands = band_explode(sigs, "minhash", "image_id", cfg.bands, cfg.rows_per_band)
+        cands, skew = candidate_pairs(
+            bands, "image_id", cap=cfg.band_bucket_cap, hard_cap=stop_cap
+        )
+        cat.write("caption_band_skew", skew)
+        verified = verify_jaccard(
+            cands, sigs.select("image_id", "codes"), "image_id", "codes",
+            cfg.jaccard_threshold,
+        )
+        # exact tier: identical normalized captions never depend on LSH
+        # (their buckets are exactly the droppable stop bands)
+        exact = exact_fingerprint_pairs(sigs, "image_id")
+        return (
+            verified.unionByName(exact)
+            .groupBy("a", "b")
+            .agg(F.max("jaccard").alias("jaccard"))
+            .withColumn("tier", F.lit("caption"))
+        )
+
+    caption_pairs = cat.read_or_compute("caption_pairs", _caption_pairs)
+
+    # --- image tier -----------------------------------------------------------
+    def _image_pairs() -> DataFrame:
+        from who_owns_mass_processing_spark.functions.images import phash_combo_bands
+
+        bands = phash_combo_bands(
+            ingested, "phash", "image_id",
+            n_bands=cfg.phash_bands, radius=cfg.hamming_radius,
+        )
+        cands, skew = candidate_pairs(
+            bands, "image_id", cap=cfg.band_bucket_cap, hard_cap=stop_cap
+        )
+        cat.write("image_band_skew", skew)
+        ham = verify_hamming(
+            cands, ingested.select("image_id", "phash"), "image_id", "phash",
+            cfg.hamming_radius,
+        )
+        # lossy pairs additionally need the decoded-pixel PSNR gate; the
+        # bytes join touches only candidate pairs that already passed Hamming
+        psnr_ok = verify_psnr(
+            ham.select("a", "b"),
+            images.select("image_id", "bytes", "fmt"),
+            "image_id",
+            "bytes",
+            "fmt",
+            cfg.psnr_min_db,
+        )
+        return (
+            ham.join(psnr_ok.select("a", "b", "psnr"), ["a", "b"])
+            .withColumn("tier", F.lit("image"))
+        )
+
+    image_pairs = cat.read_or_compute("image_pairs", _image_pairs)
+
+    # --- edges + clustering ---------------------------------------------------
+    def _edges() -> DataFrame:
+        return caption_pairs.select("a", "b", "tier").unionByName(
+            image_pairs.select("a", "b", "tier")
+        )
+
+    edges = cat.read_or_compute("edges", _edges)
+
+    def _assignments() -> DataFrame:
+        cc = connected_components(
+            edges.select("a", "b").distinct(),
+            max_iterations=cfg.cc_max_iterations,
+            checkpoint_every=cfg.cc_checkpoint_every,
+        )
+        return with_singletons(ingested, "image_id", cc).withColumnRenamed(
+            "node", "image_id"
+        ).withColumnRenamed("component", "cluster_id")
+
+    assignments = cat.read_or_compute("assignments", _assignments)
+
+    def _clusters() -> DataFrame:
+        return cluster_exemplars(
+            assignments.withColumnRenamed("image_id", "node").withColumnRenamed(
+                "cluster_id", "component"
+            ),
+            ingested,
+            "image_id",
+            "caption",
+        )
+
+    clusters = cat.read_or_compute("clusters", _clusters)
+
+    # --- metrics + lineage ------------------------------------------------------
+    def _metrics() -> DataFrame:
+        rows = [
+            ("caption_pairs", caption_pairs.count()),
+            ("image_pairs", image_pairs.count()),
+            ("edges", edges.count()),
+            ("clusters", clusters.count()),
+        ]
+        return spark.createDataFrame(rows, "stage string, rows long")
+
+    metrics = cat.read_or_compute("metrics", _metrics)
+    lineage = spark.createDataFrame(cat.lineage())
+
+    return {
+        "ingest": ingested,
+        "signatures": sigs,
+        "caption_pairs": caption_pairs,
+        "image_pairs": image_pairs,
+        "edges": edges,
+        "assignments": assignments,
+        "clusters": clusters,
+        "metrics": metrics,
+        "lineage": lineage,
+    }
