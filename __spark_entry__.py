@@ -341,6 +341,77 @@ def q_dedup_cc_assignments(spark, sf_dir):
     )
 
 
+def q_explode_tokens(spark, sf_dir):
+    """Row-split with per-origin numbering (std_separate_and_label /
+    std_multiname analog, R/standardizers.R:1788-1877): one doc -> N
+    token rows with position labels."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    toks = F.split(T.normalize_text(F.col("text")), " ")
+    return d.select("doc_id", F.posexplode(toks).alias("pos", "token")).where(
+        F.length("token") > 0
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+def q_impute_by_lookup(spark, sf_dir):
+    """Imputation via broadcast dimension join + coalesce
+    (std_fill_state_by_zip analog, R/standardizers.R:1473-1501):
+    docs with lang 'de' nulled, refilled from the modal lang of their
+    source when that source is unambiguous (exactly one distinct
+    non-null lang)."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "lang_gap", F.nullif(F.col("lang"), F.lit("de"))
+    )
+    dim = (
+        d.where(F.col("lang_gap").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.countDistinct("lang_gap").alias("_n"),
+            F.min("lang_gap").alias("_fill"),
+        )
+        .where(F.col("_n") == 1)
+        .select("source", "_fill")
+    )
+    return (
+        d.join(F.broadcast(dim), "source", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("lang_gap", "_fill").alias("lang_imputed"),
+        )
+    )
+
+
+def q_cross_table_pairs(spark, sf_dir):
+    """Cross-table co-clustering (dedupe_cosine_join analog,
+    R/deduplicaters.R:380-444): near-dup pairs that SPAN the two
+    'tables' (en docs vs non-en docs) — same banded join over the
+    unioned table + mixed-source filter."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", CFG.shingle_k, CFG.jaccard_threshold)
+    flags = d.select("doc_id", (F.col("lang") == "en").alias("is_en"))
+    return (
+        pairs.join(flags.withColumnRenamed("doc_id", "a").withColumnRenamed("is_en", "en_a"), "a")
+        .join(flags.withColumnRenamed("doc_id", "b").withColumnRenamed("is_en", "en_b"), "b")
+        .where(F.col("en_a") != F.col("en_b"))
+        .select("a", "b", "jaccard")
+    )
+
+
+def q_prune_networks(spark, sf_dir):
+    """Membership recompute + prune (A10, R/deduplicaters.R:961-1026):
+    keep only docs whose near-dup cluster touches >= 1 'en' doc."""
+    assigns = q_dedup_cc_assignments(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    flagged = assigns.join(d, "doc_id")
+    live = (
+        flagged.where(F.col("lang") == "en").select("cluster_id").distinct()
+    )
+    return (
+        flagged.join(live, "cluster_id", "left_semi")
+        .select("doc_id", "cluster_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search surface
 # ---------------------------------------------------------------------------
@@ -375,6 +446,33 @@ def q_embedding_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
+
+def q_embedding_ann_lsh(spark, sf_dir):
+    """Scale-path ANN: random-hyperplane LSH buckets (16-bit sign
+    pattern) + within-bucket exact cosine >= threshold.  Approximate by
+    construction (bucketing can miss cross-bucket pairs) -> rows-only
+    driver check; the exact twin `embedding_cosine_pairs` carries the
+    value oracle."""
+    from who_owns_mass_processing_spark.functions.vectors import (
+        cosine as vcos,
+    )
+    from who_owns_mass_processing_spark.functions.vectors import (
+        hyperplane_bucket,
+        hyperplane_planes,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    planes = hyperplane_planes(dim=64, n_bits=8, seed=CFG.minhash_seed)
+    b = e.select("vec_id", "embedding", hyperplane_bucket(F.col("embedding"), planes).alias("bucket"))
+    left = b.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"), "bucket")
+    right = b.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(vcos(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.40)
+    )
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -411,8 +509,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "dedup_cc_assignments": q_dedup_cc_assignments,
+        "explode_tokens": q_explode_tokens,
+        "impute_by_lookup": q_impute_by_lookup,
+        "cross_table_pairs": q_cross_table_pairs,
+        "prune_networks": q_prune_networks,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "embedding_topk": q_embedding_topk,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
     }
 
 
@@ -670,6 +773,57 @@ def oracle_sql() -> dict[str, str]:
               WHERE w.label < e.dst
             )
             SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+        """,
+        "explode_tokens": f"""
+            WITH t AS (
+              SELECT doc_id, string_split({norm_text}, ' ') AS toks
+              FROM documents WHERE doc_id < 50
+            ),
+            e AS (
+              SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM t
+            )
+            SELECT doc_id, (i - 1)::BIGINT AS pos, toks[i] AS token
+            FROM e WHERE length(toks[i]) > 0
+        """,
+        "impute_by_lookup": """
+            WITH d AS (
+              SELECT doc_id, source, nullif(lang, 'de') AS lang_gap FROM documents
+            ),
+            dim AS (
+              SELECT source, min(lang_gap) AS _fill
+              FROM d WHERE lang_gap IS NOT NULL
+              GROUP BY source HAVING count(DISTINCT lang_gap) = 1
+            )
+            SELECT doc_id, d.source, coalesce(lang_gap, _fill) AS lang_imputed
+            FROM d LEFT JOIN dim USING (source)
+        """,
+        "cross_table_pairs": f"""
+            WITH pairs AS ({_jaccard_pairs_sql(0.80)}),
+            f AS (SELECT doc_id, lang = 'en' AS is_en FROM documents)
+            SELECT p.a, p.b, p.jaccard
+            FROM pairs p
+            JOIN f fa ON fa.doc_id = p.a
+            JOIN f fb ON fb.doc_id = p.b
+            WHERE fa.is_en != fb.is_en
+        """,
+        "prune_networks": f"""
+            WITH RECURSIVE pairs AS ({_jaccard_pairs_sql(0.80)}),
+            edges AS (
+              SELECT a AS src, b AS dst FROM pairs
+              UNION ALL SELECT b, a FROM pairs
+            ),
+            walk(node, label) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+              WHERE w.label < e.dst
+            ),
+            cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node),
+            live AS (
+              SELECT DISTINCT cluster_id FROM cc
+              JOIN documents USING (doc_id) WHERE lang = 'en'
+            )
+            SELECT cc.doc_id, cc.cluster_id FROM cc JOIN live USING (cluster_id)
         """,
         "embedding_cosine_pairs": f"""
             SELECT a.vec_id AS a, b.vec_id AS b, round({cos_ab}, 6) AS cos_sim

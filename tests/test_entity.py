@@ -1,0 +1,98 @@
+"""Two-tier bounded entity dedup — reference parity semantics (F3)."""
+import pandas as pd
+import pytest
+
+from who_owns_mass_processing_spark.config import DedupeConfig
+from who_owns_mass_processing_spark.operators.entity import dedupe_entities
+from who_owns_mass_processing_spark.synth import generate_owners
+
+CFG = DedupeConfig(stop_band_min=1000)  # tiny fixtures: no stop-band drops
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "name", "inst", "addr_id"]))
+    assigns, clusters = dedupe_entities(df, "id", "name", "inst", "addr_id", CFG, **kw)
+    a = assigns.toPandas()
+    return dict(zip(a.id, a.cluster_id)), clusters.toPandas()
+
+
+def test_institutional_merge_on_similarity_alone(spark):
+    m, _ = _run(
+        spark,
+        [
+            (1, "OAKVALE PROPERTIES LLC", True, 10),
+            (2, "OAKVALE PROPERTIES LC", True, 99),  # typo, different address
+            (3, "GRANITE HOLDINGS INC", True, 10),
+        ],
+    )
+    assert m[1] == m[2]
+    assert m[1] != m[3]
+
+
+def test_individuals_require_shared_address(spark):
+    """Reference: individuals only dedupe address-bounded at the strict
+    tier (R/deduplicaters.R:483-513) — identical names across addresses
+    stay separate."""
+    m, _ = _run(
+        spark,
+        [
+            (1, "JOHN A SMITH", False, 10),
+            (2, "JOHN A SMITH", False, 10),   # same name, same address -> merge
+            (3, "JOHN A SMITH", False, 42),   # same name, other address -> separate
+        ],
+    )
+    assert m[1] == m[2]
+    assert m[3] != m[1]
+
+
+def test_individual_strict_tier(spark):
+    m, _ = _run(
+        spark,
+        [
+            (1, "MARY JOHNSON", False, 7),
+            (2, "MARY JOHNSTON", False, 7),    # J=0.615, same address
+            (3, "MARY JOHANSSON", False, 7),   # J=0.467: too far even bounded
+        ],
+        tau_inst=0.55,
+        tau_indiv=0.55,
+    )
+    assert m[1] == m[2]
+    assert m[3] != m[1]
+
+
+def test_null_bound_never_matches(spark):
+    """na_matches='never' parity (R/deduplicaters.R:552): NULL addr_id
+    individuals never merge via the bounded tier."""
+    rows = [(1, "JOHN A SMITH", False, None), (2, "JOHN A SMITH", False, None)]
+    m, _ = _run(spark, rows)
+    assert m[1] != m[2]
+
+
+def test_canonical_name_is_group_mode(spark):
+    m, clusters = _run(
+        spark,
+        [
+            (1, "OAKVALE PROPERTIES LLC", True, 1),
+            (2, "OAKVALE PROPERTIES LLC", True, 2),
+            (3, "OAKVALE PROPERTIES LC", True, 3),
+        ],
+    )
+    assert m[1] == m[2] == m[3]
+    row = clusters[clusters["size"] == 3].iloc[0]
+    assert row.canonical_name == "OAKVALE PROPERTIES LLC"
+
+
+def test_owners_fixture_end_to_end(spark):
+    owners = generate_owners(n=200, seed=7)
+    df = spark.createDataFrame(owners)
+    assigns, clusters = dedupe_entities(df, "id", "name", "inst", "addr_id", CFG, tau_inst=0.75)
+    a = assigns.toPandas()
+    assert len(a) == 200 and a.id.is_unique
+    # exact-duplicate institutional names must share a cluster
+    merged = a.merge(owners, on="id")
+    inst_names = merged[merged.inst]
+    for name, grp in inst_names.groupby("name"):
+        assert grp.cluster_id.nunique() == 1, name
+    # cluster table consistency
+    c = clusters.toPandas()
+    assert c["size"].sum() == 200

@@ -1,0 +1,55 @@
+"""Physical-plan hygiene: the properties that matter at 100 TB.
+
+These assert on the *executed plan string* — if a refactor silently
+turns a pushed filter into a post-scan filter, a broadcast join into a
+sort-merge join against a tiny dim, or a range join into a nested loop,
+these fail before a benchmark ever would.
+"""
+import os
+
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushes_filters_and_prunes_columns(spark):
+    df = E.q_scan_filter_project(spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "IsNotNull(lang)" in plan
+    # projection pruned to the 5 referenced columns at the scan
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema  # untouched wide column not read
+
+
+def test_small_dim_join_broadcasts(spark):
+    df = E.q_join_agg_topk(spark, SF_DIR)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_lsh_candidate_join_is_hash_join(spark):
+    df = E.q_minhash_lsh_pairs(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    df = E.q_summary_metrics(spark, SF_DIR)
+    df.collect()  # AQE finalizes the physical plan only on execution
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # "*(n)" node prefix == inside a WholeStageCodegen span
+    assert "*(" in plan, plan
+
+
+def test_events_agg_partial_aggregation(spark):
+    # partial (map-side) + final hash aggregation: two HashAggregate nodes
+    df = E.q_group_counts(spark, SF_DIR)
+    assert _plan(df).count("HashAggregate") >= 2

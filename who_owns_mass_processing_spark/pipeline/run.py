@@ -157,6 +157,22 @@ def run_pipeline(
     clusters = cat.read_or_compute("clusters", _clusters)
 
     # --- metrics + lineage ------------------------------------------------------
+    def _partition_metrics() -> DataFrame:
+        """Per-partition input metrics (north_rule: per-partition lineage
+        + metrics): rows + payload bytes per scan partition — builtins
+        only; decode-failure accounting lives in functions.images.
+        decode_stats_map for the audit path."""
+        return (
+            images.select(
+                F.spark_partition_id().alias("partition_id"),
+                F.length("bytes").alias("_sz"),
+            )
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("rows"), F.sum("_sz").alias("payload_bytes"))
+        )
+
+    partition_metrics = cat.read_or_compute("partition_metrics", _partition_metrics)
+
     def _metrics() -> DataFrame:
         rows = [
             ("caption_pairs", caption_pairs.count()),
@@ -178,5 +194,6 @@ def run_pipeline(
         "assignments": assignments,
         "clusters": clusters,
         "metrics": metrics,
+        "partition_metrics": partition_metrics,
         "lineage": lineage,
     }
