@@ -28,11 +28,11 @@ sys.path.insert(0, %(repo)r)
 cores = int(sys.argv[1]); n_base = int(sys.argv[2])
 from who_owns_mass_processing_spark.session import get_spark
 from who_owns_mass_processing_spark.config import DedupeConfig
-from who_owns_mass_processing_spark.operators.dedupe import minhash_signatures
-from who_owns_mass_processing_spark.functions.minhash import band_explode
+from who_owns_mass_processing_spark.operators.dedupe import (
+    minhash_signatures, rep_pairs_from_sigs, exact_fingerprint_edges)
 from who_owns_mass_processing_spark.functions.images import image_meta_udf, phash_combo_bands
 from who_owns_mass_processing_spark.operators.blocking import candidate_pairs
-from who_owns_mass_processing_spark.operators.verify import verify_jaccard, verify_hamming
+from who_owns_mass_processing_spark.operators.verify import verify_hamming, verify_psnr
 from who_owns_mass_processing_spark.operators.connected_components import connected_components
 from pyspark.sql import functions as F
 from bench import ensure_bench_images
@@ -41,30 +41,40 @@ cfg = DedupeConfig()
 spark = get_spark(cores=cores, shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
 path = ensure_bench_images(n_base)
-images = spark.read.parquet(path)
+images = spark.read.parquet(path).repartition(cores).localCheckpoint(eager=True)
 n = images.count()
-images = images.localCheckpoint(eager=True)  # exclude input IO from the measured section
 
 t0 = time.time()
-# signature stage (pandas UDFs: MinHash over captions + decode->pHash)
-sigs = minhash_signatures(images, "image_id", "caption", cfg)
+# signature stage: decode->pHash recompute (pandas UDF over bytes) +
+# MinHash over captions + byte/caption fingerprints — the payload pass
 meta = image_meta_udf()
-feats = sigs.join(images.select("image_id", F.col("phash")), "image_id")
-feats = feats.localCheckpoint(eager=True)
+ingested = images.select(
+    "image_id", "fmt", "caption",
+    meta(F.col("bytes")).alias("m"),
+    F.sha2(F.col("bytes"), 256).alias("byte_fp"),
+).select("image_id", "fmt", "caption", F.col("m.phash").alias("phash"), "byte_fp")
+sigs = minhash_signatures(ingested, "image_id", "caption", cfg)
+sigs = sigs.join(ingested.select("image_id", "phash", "byte_fp"), "image_id")
+sigs = sigs.localCheckpoint(eager=True)
 t_sig = time.time() - t0
 
 t0 = time.time()
 stop = cfg.stop_band_threshold(n)
-cap_bands = band_explode(feats, "minhash", "image_id", cfg.bands, cfg.rows_per_band)
-cap_cands, _ = candidate_pairs(cap_bands, "image_id", cfg.band_bucket_cap, stop)
-cap_pairs = verify_jaccard(cap_cands, feats.select("image_id", "codes"),
-                           "image_id", "codes", cfg.jaccard_threshold)
-img_bands = phash_combo_bands(feats, "phash", "image_id", cfg.phash_bands, cfg.hamming_radius)
+cap_rep_pairs, _ = rep_pairs_from_sigs(sigs, "image_id", cfg)
+cap_edges = cap_rep_pairs.select("a", "b").unionByName(
+    exact_fingerprint_edges(sigs, "image_id").select("a", "b"))
+byte_reps = sigs.groupBy("byte_fp").agg(F.min("image_id").alias("image_id"))
+reps = sigs.join(byte_reps, ["image_id", "byte_fp"], "left_semi")
+img_bands = phash_combo_bands(reps, "phash", "image_id", cfg.phash_bands, cfg.hamming_radius)
 img_cands, _ = candidate_pairs(img_bands, "image_id", cfg.band_bucket_cap, stop)
-img_pairs = verify_hamming(img_cands, feats.select("image_id", "phash"),
-                           "image_id", "phash", cfg.hamming_radius)
-edges = cap_pairs.select("a", "b").unionByName(img_pairs.select("a", "b")).distinct()
-edges = edges.localCheckpoint(eager=True)
+img_ham = verify_hamming(img_cands, reps.select("image_id", "phash"),
+                         "image_id", "phash", cfg.hamming_radius)
+img_ok = verify_psnr(img_ham.select("a", "b"), images.select("image_id", "bytes", "fmt"),
+                     "image_id", "bytes", "fmt", cfg.psnr_min_db)
+byte_star = sigs.join(byte_reps.withColumnRenamed("image_id", "a"), "byte_fp").where(
+    F.col("image_id") != F.col("a")).select("a", F.col("image_id").alias("b"))
+edges = (cap_edges.unionByName(img_ok.select("a", "b"))
+         .unionByName(byte_star).distinct().localCheckpoint(eager=True))
 n_edges = edges.count()
 t_block = time.time() - t0
 

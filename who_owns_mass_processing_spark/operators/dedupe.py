@@ -45,7 +45,19 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, cfg: DedupeCon
     One Arrow pass emits both the MinHash signature (blocking) and the
     sorted shingle-code array (exact-verify feature: longs, not strings).
     `fingerprint` (md5 of normalized text, builtin) feeds the exact tier.
+
+    The (id, text) projection is repartitioned to the session's shuffle
+    parallelism first: small single-file inputs otherwise pin the UDF
+    stage to one core (scan split count follows file size, not CPU
+    count).  Projecting BEFORE repartitioning matters — repartitioning
+    the raw input would shuffle the payload column, i.e. ~the whole
+    table at 100 TB.
     """
+    slim = df.select(F.col(id_col), F.col(text_col))
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if slim.rdd.getNumPartitions() < n_part:
+        slim = slim.repartition(n_part)
+    df = slim
     sig = signature_udf(cfg.shingle_k, cfg.num_perm, cfg.minhash_seed)
     return df.select(
         F.col(id_col),
@@ -61,9 +73,9 @@ def exact_fingerprint_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
 
     Identical texts must never depend on LSH banding: their band buckets
     are exactly the degenerate stop-band buckets the skew control drops.
-    Group sizes are bounded in practice; at extreme scale replace the
-    within-group all-pairs by star edges to the group minimum (same
-    connected components)."""
+    QUADRATIC in group size by construction (it *lists* the pairs, for
+    the pair-listing queries / all-pairs oracle parity); anything that
+    only needs connectivity must use `exact_fingerprint_edges`."""
     fa = sigs.select(F.col(id_col).alias("a"), "fingerprint")
     fb = sigs.select(F.col(id_col).alias("b"), "fingerprint")
     return (
@@ -73,28 +85,99 @@ def exact_fingerprint_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def exact_fingerprint_edges(sigs: DataFrame, id_col: str) -> DataFrame:
+    """STAR edges (member -> group-min) for identical normalized text:
+    linear in group size, same connected components as the all-pairs
+    version — the scale path for the clustering tiers (a 10^7-member
+    identical-caption group yields 10^7-1 edges, not 10^13 pairs)."""
+    mins = sigs.groupBy("fingerprint").agg(F.min(id_col).alias("a"))
+    return (
+        sigs.join(mins, "fingerprint")
+        .where(F.col(id_col) != F.col("a"))
+        .select("a", F.col(id_col).alias("b"), F.lit(1.0).alias("jaccard"))
+    )
+
+
+def rep_pairs_from_sigs(
+    sigs: DataFrame, id_col: str, cfg: DedupeConfig
+) -> tuple[DataFrame, DataFrame]:
+    """LSH over one representative per distinct fingerprint.
+
+    Identical texts have identical signatures, so running LSH over
+    members (a) multiplies every band bucket by the dup multiplicity
+    and (b) turns exact-dup families (40%+ of a web corpus) into
+    quadratic bucket fan-out.  Deduping to the group-min representative
+    BEFORE banding removes both — cross-group recall is unchanged
+    (rep signatures == member signatures) and within-group pairs are
+    the exact tier's job.
+
+    Returns (rep_pairs(a, b, jaccard, fp_a, fp_b), skew_metrics); a, b
+    are representative ids.
+    """
+    reps = sigs.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    rep_sigs = sigs.join(reps, [id_col, "fingerprint"], "left_semi")
+    n_reps = rep_sigs.count()
+    bands = band_explode(rep_sigs, "minhash", id_col, cfg.bands, cfg.rows_per_band)
+    cands, metrics = candidate_pairs(
+        bands, id_col, cap=cfg.band_bucket_cap, hard_cap=cfg.stop_band_threshold(n_reps)
+    )
+    verified = verify_jaccard(
+        cands, rep_sigs.select(id_col, "codes"), id_col, "codes", cfg.jaccard_threshold
+    )
+    fp = sigs.select(F.col(id_col), "fingerprint")
+    return (
+        verified.join(
+            fp.select(F.col(id_col).alias("a"), F.col("fingerprint").alias("fp_a")), "a"
+        ).join(
+            fp.select(F.col(id_col).alias("b"), F.col("fingerprint").alias("fp_b")), "b"
+        ),
+        metrics,
+    )
+
+
 def lsh_near_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, cfg: DedupeConfig
 ) -> tuple[DataFrame, DataFrame]:
-    """Full block-then-verify: MinHash -> LSH bands -> candidates (salted,
-    stop-bands dropped) -> exact Jaccard on shingle codes >= threshold,
-    UNION exact-fingerprint pairs. Returns (pairs, skew_metrics);
-    pairs = (a, b, jaccard)."""
-    n_rows = df.count()  # cheap parquet-stats count; sizes the stop-band threshold
+    """Full block-then-verify pair LISTING: rep-level LSH expanded to all
+    member pairs (identical texts share the rep's Jaccard), UNION
+    within-group exact pairs.  Output size == true near-dup pair count
+    (inherently quadratic in dup-family size — use `lsh_near_dup_edges`
+    when only connectivity is needed).  Returns (pairs(a, b, jaccard),
+    skew_metrics)."""
     sigs = minhash_signatures(df, id_col, text_col, cfg)
-    bands = band_explode(sigs, "minhash", id_col, cfg.bands, cfg.rows_per_band)
-    cands, metrics = candidate_pairs(
-        bands, id_col, cap=cfg.band_bucket_cap, hard_cap=cfg.stop_band_threshold(n_rows)
-    )
-    verified = verify_jaccard(
-        cands, sigs.select(id_col, "codes"), id_col, "codes", cfg.jaccard_threshold
+    rep_pairs, metrics = rep_pairs_from_sigs(sigs, id_col, cfg)
+    groups = sigs.select(F.col(id_col), "fingerprint")
+    expanded = (
+        rep_pairs.select("fp_a", "fp_b", "jaccard")
+        .join(groups.select(F.col(id_col).alias("ma"), F.col("fingerprint").alias("fp_a")), "fp_a")
+        .join(groups.select(F.col(id_col).alias("mb"), F.col("fingerprint").alias("fp_b")), "fp_b")
+        .select(
+            F.least("ma", "mb").alias("a"),
+            F.greatest("ma", "mb").alias("b"),
+            "jaccard",
+        )
     )
     pairs = (
-        verified.unionByName(exact_fingerprint_pairs(sigs, id_col))
+        expanded.unionByName(exact_fingerprint_pairs(sigs, id_col))
         .groupBy("a", "b")
         .agg(F.max("jaccard").alias("jaccard"))
     )
     return pairs, metrics
+
+
+def lsh_near_dup_edges(
+    df: DataFrame, id_col: str, text_col: str, cfg: DedupeConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Connectivity-only variant: rep-level LSH pairs + star edges for
+    exact-dup groups — linear in dup-family size, same connected
+    components as the full listing.  Returns (edges(a, b, jaccard),
+    skew_metrics)."""
+    sigs = minhash_signatures(df, id_col, text_col, cfg)
+    rep_pairs, metrics = rep_pairs_from_sigs(sigs, id_col, cfg)
+    edges = rep_pairs.select("a", "b", "jaccard").unionByName(
+        exact_fingerprint_edges(sigs, id_col)
+    )
+    return edges, metrics
 
 
 def ngram_jaccard_pairs(

@@ -47,9 +47,13 @@ def run_pipeline(
     cfg = cfg or DedupeConfig()
     cat = StageCatalog(spark, workdir, cfg.fingerprint())
 
-    # --- ingest: strip payload immediately ---------------------------------
+    # --- ingest: strip payload immediately; byte fingerprint for the
+    # exact-image tier rides along (32 B vs 100 KB payload) -----------------
     def _ingest() -> DataFrame:
-        return images.select("image_id", "fmt", "caption", "phash")
+        return images.select(
+            "image_id", "fmt", "caption", "phash",
+            F.sha2(F.col("bytes"), 256).alias("byte_fp"),
+        )
 
     ingested = cat.read_or_compute("ingest", _ingest)
 
@@ -65,25 +69,20 @@ def run_pipeline(
 
     # --- caption tier ---------------------------------------------------------
     def _caption_pairs() -> DataFrame:
-        from who_owns_mass_processing_spark.functions.minhash import band_explode
         from who_owns_mass_processing_spark.operators.dedupe import (
-            exact_fingerprint_pairs,
+            exact_fingerprint_edges,
+            rep_pairs_from_sigs,
         )
 
-        bands = band_explode(sigs, "minhash", "image_id", cfg.bands, cfg.rows_per_band)
-        cands, skew = candidate_pairs(
-            bands, "image_id", cap=cfg.band_bucket_cap, hard_cap=stop_cap
-        )
+        # LSH over distinct-fingerprint representatives only (identical
+        # captions never enter banding — their mega-buckets are pure
+        # fan-out), plus linear star edges for the exact-dup families.
+        rep_pairs, skew = rep_pairs_from_sigs(sigs, "image_id", cfg)
         cat.write("caption_band_skew", skew)
-        verified = verify_jaccard(
-            cands, sigs.select("image_id", "codes"), "image_id", "codes",
-            cfg.jaccard_threshold,
-        )
-        # exact tier: identical normalized captions never depend on LSH
-        # (their buckets are exactly the droppable stop bands)
-        exact = exact_fingerprint_pairs(sigs, "image_id")
+        exact = exact_fingerprint_edges(sigs, "image_id")
         return (
-            verified.unionByName(exact)
+            rep_pairs.select("a", "b", "jaccard")
+            .unionByName(exact)
             .groupBy("a", "b")
             .agg(F.max("jaccard").alias("jaccard"))
             .withColumn("tier", F.lit("caption"))
@@ -92,11 +91,30 @@ def run_pipeline(
     caption_pairs = cat.read_or_compute("caption_pairs", _caption_pairs)
 
     # --- image tier -----------------------------------------------------------
+    # Byte-identical images (exact web dups, the dominant dup class) are
+    # connected by LINEAR star edges on sha256(bytes) and only one
+    # representative per byte group enters pHash blocking + PSNR: byte
+    # identity implies pixel identity, so rep-level Hamming/PSNR verdicts
+    # are exact for every member (same components, ~0 payload decode for
+    # dup families).
+    def _image_exact_edges() -> DataFrame:
+        mins = ingested.groupBy("byte_fp").agg(F.min("image_id").alias("a"))
+        return (
+            ingested.join(mins, "byte_fp")
+            .where(F.col("image_id") != F.col("a"))
+            .select("a", F.col("image_id").alias("b"))
+            .withColumn("tier", F.lit("image_exact"))
+        )
+
+    image_exact_edges = cat.read_or_compute("image_exact_edges", _image_exact_edges)
+
     def _image_pairs() -> DataFrame:
         from who_owns_mass_processing_spark.functions.images import phash_combo_bands
 
+        byte_reps = ingested.groupBy("byte_fp").agg(F.min("image_id").alias("image_id"))
+        reps = ingested.join(byte_reps, ["image_id", "byte_fp"], "left_semi")
         bands = phash_combo_bands(
-            ingested, "phash", "image_id",
+            reps, "phash", "image_id",
             n_bands=cfg.phash_bands, radius=cfg.hamming_radius,
         )
         cands, skew = candidate_pairs(
@@ -104,7 +122,7 @@ def run_pipeline(
         )
         cat.write("image_band_skew", skew)
         ham = verify_hamming(
-            cands, ingested.select("image_id", "phash"), "image_id", "phash",
+            cands, reps.select("image_id", "phash"), "image_id", "phash",
             cfg.hamming_radius,
         )
         # lossy pairs additionally need the decoded-pixel PSNR gate; the
@@ -126,8 +144,10 @@ def run_pipeline(
 
     # --- edges + clustering ---------------------------------------------------
     def _edges() -> DataFrame:
-        return caption_pairs.select("a", "b", "tier").unionByName(
-            image_pairs.select("a", "b", "tier")
+        return (
+            caption_pairs.select("a", "b", "tier")
+            .unionByName(image_pairs.select("a", "b", "tier"))
+            .unionByName(image_exact_edges.select("a", "b", "tier"))
         )
 
     edges = cat.read_or_compute("edges", _edges)
