@@ -26,7 +26,11 @@ from who_owns_mass_processing_spark.operators import dedupe as D
 from who_owns_mass_processing_spark.operators import joins as J
 from who_owns_mass_processing_spark.operators.connected_components import connected_components
 
-CFG = DedupeConfig()
+# Oracle-facing config: bands=32 (r=4) makes P(miss | J>=0.8) ~ 5e-8 per
+# pair, so LSH output equals the exact all-pairs SQL at correctness scale.
+# (The engine default is the scale operating point bands=16/r=8 —
+# see config.py.)
+CFG = DedupeConfig(bands=32)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -447,6 +451,31 @@ def q_embedding_topk(spark, sf_dir):
 # registry
 # ---------------------------------------------------------------------------
 
+def q_json_extract(spark, sf_dir):
+    """Structured extraction from a string column (analog of the
+    reference's address parser turning one string into typed fields,
+    proc_address_to_range R/processors.R:44-111): events.props JSON ->
+    typed k."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+
+
+def q_numeric_heuristics(spark, sf_dir):
+    """Numeric rule ladders (std parity/ceiling heuristics,
+    R/processors.R:98-107, R/standardizers.R:1039-1144): even/odd flag +
+    ceiling-division unit estimate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor("l_quantity") % 2 == 0).alias("qty_even"),
+        F.ceil(F.col("l_extendedprice") / 900.0).cast("long").alias("est_units"),
+    )
+
+
 def q_embedding_ann_lsh(spark, sf_dir):
     """Scale-path ANN: random-hyperplane LSH buckets (16-bit sign
     pattern) + within-bucket exact cosine >= threshold.  Approximate by
@@ -509,6 +538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "dedup_cc_assignments": q_dedup_cc_assignments,
+        "json_extract": q_json_extract,
+        "numeric_heuristics": q_numeric_heuristics,
         "explode_tokens": q_explode_tokens,
         "impute_by_lookup": q_impute_by_lookup,
         "cross_table_pairs": q_cross_table_pairs,
@@ -773,6 +804,15 @@ def oracle_sql() -> dict[str, str]:
               WHERE w.label < e.dst
             )
             SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+        """,
+        "json_extract": """
+            SELECT event_id, json_extract(props, '$.k')::BIGINT AS k FROM events
+        """,
+        "numeric_heuristics": """
+            SELECT l_orderkey, l_linenumber,
+                   (floor(l_quantity)::BIGINT % 2 = 0) AS qty_even,
+                   ceil(l_extendedprice / 900.0)::BIGINT AS est_units
+            FROM lineitem
         """,
         "explode_tokens": f"""
             WITH t AS (

@@ -44,6 +44,18 @@ path = ensure_bench_images(n_base)
 images = spark.read.parquet(path).repartition(cores).localCheckpoint(eager=True)
 n = images.count()
 
+# warm-up: prime python UDF workers / JIT on a small slice (identical for
+# both legs) so the measured section reflects steady-state throughput,
+# not per-process cold start
+warm = spark.createDataFrame(
+    images.select("image_id", "bytes", "caption").limit(64).collect()
+).localCheckpoint(eager=True)
+_warm_meta = image_meta_udf()
+warm.select(_warm_meta(F.col("bytes"))).write.format("noop").mode("overwrite").save()
+minhash_signatures(warm, "image_id", "caption", cfg).write.format(
+    "noop").mode("overwrite").save()
+print("warmup done", flush=True)
+
 t0 = time.time()
 # signature stage: decode->pHash recompute (pandas UDF over bytes) +
 # MinHash over captions + byte/caption fingerprints — the payload pass
@@ -53,14 +65,21 @@ ingested = images.select(
     meta(F.col("bytes")).alias("m"),
     F.sha2(F.col("bytes"), 256).alias("byte_fp"),
 ).select("image_id", "fmt", "caption", F.col("m.phash").alias("phash"), "byte_fp")
+# materialize between the two Arrow UDF stages — chaining two
+# ArrowEvalPython nodes in one task over ~100KB binary rows can wedge
+# the writer-in-task-thread pump (observed on Spark 4.1.2); the real
+# pipeline materializes here anyway (ingest stage checkpoint)
+ingested = ingested.localCheckpoint(eager=True)
 sigs = minhash_signatures(ingested, "image_id", "caption", cfg)
 sigs = sigs.join(ingested.select("image_id", "phash", "byte_fp"), "image_id")
 sigs = sigs.localCheckpoint(eager=True)
+print("sig stage done", flush=True)
 t_sig = time.time() - t0
 
 t0 = time.time()
 stop = cfg.stop_band_threshold(n)
 cap_rep_pairs, _ = rep_pairs_from_sigs(sigs, "image_id", cfg)
+print("caption rep pairs planned", flush=True)
 cap_edges = cap_rep_pairs.select("a", "b").unionByName(
     exact_fingerprint_edges(sigs, "image_id").select("a", "b"))
 byte_reps = sigs.groupBy("byte_fp").agg(F.min("image_id").alias("image_id"))
@@ -76,6 +95,7 @@ byte_star = sigs.join(byte_reps.withColumnRenamed("image_id", "a"), "byte_fp").w
 edges = (cap_edges.unionByName(img_ok.select("a", "b"))
          .unionByName(byte_star).distinct().localCheckpoint(eager=True))
 n_edges = edges.count()
+print("block done", flush=True)
 t_block = time.time() - t0
 
 t0 = time.time()
@@ -92,12 +112,15 @@ print(json.dumps({"cores": cores, "n_images": n, "sig_sec": round(t_sig, 2),
 
 
 def run(cores: int, n_base: int) -> dict:
+    env = dict(os.environ, SPARK_DRIVER_MEM="48g")
     out = subprocess.run(
         [sys.executable, "-c", WORKER % {"repo": REPO}, str(cores), str(n_base)],
-        capture_output=True, text=True, cwd=REPO, timeout=3600,
+        stdout=subprocess.PIPE, stderr=sys.stderr, text=True, cwd=REPO, timeout=3600, env=env,
     )
-    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"worker cores={cores} produced no result")
+    return json.loads(lines[-1])
 
 
 def main() -> None:

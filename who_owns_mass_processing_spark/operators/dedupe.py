@@ -115,7 +115,9 @@ def rep_pairs_from_sigs(
     are representative ids.
     """
     reps = sigs.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    rep_sigs = sigs.join(reps, [id_col, "fingerprint"], "left_semi")
+    # checkpoint: rep_sigs feeds banding AND the verify join AND the count
+    # below — without it the groupBy+semi-join recomputes three times
+    rep_sigs = sigs.join(reps, [id_col, "fingerprint"], "left_semi").localCheckpoint(eager=True)
     n_reps = rep_sigs.count()
     bands = band_explode(rep_sigs, "minhash", id_col, cfg.bands, cfg.rows_per_band)
     cands, metrics = candidate_pairs(
@@ -204,12 +206,13 @@ def simhash_near_dup_pairs(
     (pigeonhole guarantees recall for Hamming <= n_bands-1... radius<=3
     with 4 bands), verify with bit_count. Returns (a, b, hamming)."""
     from who_owns_mass_processing_spark.functions.images import phash_bands
+    from who_owns_mass_processing_spark.operators.blocking import hamming_pairs
 
     sh = df.select(
         F.col(id_col), simhash_udf()(T.normalize_text(F.col(text_col))).alias("simhash")
     )
     bands = phash_bands(sh, "simhash", id_col, n_bands=n_bands)
-    cands, _ = candidate_pairs(bands, id_col)
+    cands, _ = hamming_pairs(bands, id_col, "simhash", radius)
     fa = sh.select(F.col(id_col).alias("a"), F.col("simhash").alias("_ha"))
     fb = sh.select(F.col(id_col).alias("b"), F.col("simhash").alias("_hb"))
     return (

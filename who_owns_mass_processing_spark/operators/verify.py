@@ -81,6 +81,15 @@ def verify_psnr(
 
     Returns (a, b, psnr, lossy) for ALL input pairs that pass.
     """
+    # fetch ONLY the needed blobs: the candidate-pair id set is tiny
+    # relative to the corpus, so a broadcast semi-join prunes the blob
+    # scan instead of shuffling every image's bytes through the join
+    needed = (
+        pairs.select(F.col("a").alias(id_col))
+        .unionByName(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    blobs = blobs.join(F.broadcast(needed), id_col, "left_semi")
     fa = blobs.select(
         F.col(id_col).alias("a"), F.col(bytes_col).alias("_ba"), F.col(fmt_col).alias("_fa")
     )

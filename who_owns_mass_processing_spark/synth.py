@@ -263,6 +263,69 @@ def generate_owners(n: int = 500, seed: int = 7) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def _gen_chunk(args: tuple) -> tuple:
+    """Worker for the parallel generator: one deterministic chunk with its
+    own seed and a disjoint image_id namespace (chunk prefix)."""
+    chunk_idx, n_base, seed, out_dir = args
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    images, pairs, assigns = generate_images(n_base=n_base, seed=seed + chunk_idx)
+    prefix = f"c{chunk_idx:04d}_"
+    images = images.assign(image_id=prefix + images["image_id"])
+    pairs = pairs.assign(a=prefix + pairs["a"], b=prefix + pairs["b"])
+    assigns = assigns.assign(
+        image_id=prefix + assigns["image_id"], cluster_id=prefix + assigns["cluster_id"]
+    )
+    schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("fmt", pa.string()),
+            ("caption", pa.string()),
+            ("phash", pa.int64()),
+        ]
+    )
+    ip = os.path.join(out_dir, "images.parquet", f"part-{chunk_idx:04d}.parquet")
+    pq.write_table(pa.Table.from_pandas(images, schema=schema, preserve_index=False), ip)
+    gp = os.path.join(out_dir, "golden_pairs.parquet", f"part-{chunk_idx:04d}.parquet")
+    pq.write_table(pa.Table.from_pandas(pairs, preserve_index=False), gp)
+    ga = os.path.join(out_dir, "golden_assignments.parquet", f"part-{chunk_idx:04d}.parquet")
+    pq.write_table(pa.Table.from_pandas(assigns, preserve_index=False), ga)
+    return (chunk_idx, len(images))
+
+
+def write_images_parquet_parallel(
+    path: str, n_base: int, seed: int = 42, workers: int = 24, chunk_base: int = 10000
+) -> tuple[str, str, str]:
+    """Deterministic multi-process generator for large corpora: chunks of
+    `chunk_base` bases, each seeded seed+chunk_idx with a disjoint id
+    prefix; output is a parquet DIRECTORY per table (Spark-native
+    multi-file layout).  NOTE: chunk ids live in separate namespaces, so
+    cross-chunk caption collisions (stop captions) still merge via the
+    engine's caption tier — golden assignments remain per-chunk and the
+    recall gate uses golden_pairs (which never cross chunks)."""
+    import multiprocessing as mp
+    import os
+
+    os.makedirs(os.path.join(path, "images.parquet"), exist_ok=True)
+    os.makedirs(os.path.join(path, "golden_pairs.parquet"), exist_ok=True)
+    os.makedirs(os.path.join(path, "golden_assignments.parquet"), exist_ok=True)
+    n_chunks = (n_base + chunk_base - 1) // chunk_base
+    tasks = [(i, min(chunk_base, n_base - i * chunk_base), seed, path) for i in range(n_chunks)]
+    with mp.Pool(workers) as pool:
+        pool.map(_gen_chunk, tasks)
+    return (
+        os.path.join(path, "images.parquet"),
+        os.path.join(path, "golden_pairs.parquet"),
+        os.path.join(path, "golden_assignments.parquet"),
+    )
+
+
 def write_images_parquet(path: str, n_base: int, seed: int = 42) -> tuple[str, str, str]:
     """Materialize the three F1/F2 tables under `path` (parquet)."""
     import os
