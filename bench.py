@@ -53,6 +53,22 @@ def ensure_bench_images(n_base: int, seed: int = 42) -> str:
     return os.path.join(cache, "images.parquet")
 
 
+def ensure_bench_images_parallel(n_base: int, seed: int = 42, workers: int = 24) -> str:
+    """Large-corpus variant (scaling bench): multi-process deterministic
+    generation into a multi-file parquet DIRECTORY (Spark-native layout —
+    the scan parallelizes across files, which is also why the scaling
+    worker reads it directly instead of caching it)."""
+    cache = f"/tmp/spark_graft_bench_images_par_n{n_base}_s{seed}"
+    marker = os.path.join(cache, "_DONE")
+    if not os.path.exists(marker):
+        from who_owns_mass_processing_spark.synth import write_images_parquet_parallel
+
+        shutil.rmtree(cache, ignore_errors=True)
+        write_images_parquet_parallel(cache, n_base=n_base, seed=seed, workers=workers)
+        open(marker, "w").write("ok")
+    return os.path.join(cache, "images.parquet")
+
+
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 

@@ -28,6 +28,10 @@ def main() -> None:
     p.add_argument("--jaccard", type=float, default=0.80)
     p.add_argument("--hamming", type=int, default=6)
     p.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    p.add_argument(
+        "--second-round", action="store_true",
+        help="add the C7 group-id network round (networks stage)",
+    )
     args = p.parse_args()
 
     from who_owns_mass_processing_spark.config import DedupeConfig
@@ -43,7 +47,10 @@ def main() -> None:
     images = (
         read_images_table(spark, args.input) if is_table else read_images(spark, args.input)
     )
-    out = run_pipeline(spark, images, args.workdir, cfg, refresh=args.refresh)
+    out = run_pipeline(
+        spark, images, args.workdir, cfg,
+        refresh=args.refresh, second_round=args.second_round,
+    )
     n_clusters = out["clusters"].count()
     n_rows = out["assignments"].count()
     print(f"assignments={n_rows} clusters={n_clusters} workdir={args.workdir}")

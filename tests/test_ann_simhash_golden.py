@@ -1,0 +1,71 @@
+"""Correctness anchors for the two formerly rows-only paths:
+
+* ANN LSH recall gate (>= 0.9 of the exact cosine pair set — VERDICT
+  round 1: the single-table variant had ~7% recall and no test teeth);
+* SimHash banded pairs pinned EXACTLY against a driver-side numpy
+  mirror (pigeonhole: radius 3 with 4 bands is lossless, so the banded
+  output must equal brute-force Hamming<=3 over all pairs).
+"""
+import duckdb
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_ann_lsh_recall_gate(spark):
+    from who_owns_mass_processing_spark.functions.vectors import (
+        ann_lsh_pairs,
+        cosine_pairs,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = cosine_pairs(e, "vec_id", "embedding", 0.45)
+    got = ann_lsh_pairs(e, "vec_id", "embedding", 0.45, n_bits=8, n_tables=8, seed=42)
+    exact_set = {(r.a, r.b) for r in exact.collect()}
+    got_set = {(r.a, r.b) for r in got.collect()}
+    assert got_set <= exact_set  # verify step guarantees no false positives
+    assert len(exact_set) > 0
+    recall = len(got_set & exact_set) / len(exact_set)
+    assert recall >= 0.9, f"ANN recall {recall:.2f} < 0.9 ({len(got_set)}/{len(exact_set)})"
+
+
+def test_simhash_pairs_match_numpy_mirror(spark):
+    from who_owns_mass_processing_spark.functions.simhash import simhash_py
+    from who_owns_mass_processing_spark.operators.dedupe import simhash_near_dup_pairs
+    from who_owns_mass_processing_spark.synth import normalize_text
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    ids = [r[0] for r in docs]
+    hashes = np.array([simhash_py(normalize_text(r[1])) for r in docs], dtype=np.int64)
+    radius = 3
+    expected = set()
+    for i in range(len(ids)):
+        x = hashes[i] ^ hashes[i + 1:]
+        ham = np.array([bin(int(np.uint64(v))).count("1") for v in x])
+        for j in np.nonzero(ham <= radius)[0]:
+            expected.add((ids[i], ids[i + 1 + j], int(ham[j])))
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in simhash_near_dup_pairs(df, "doc_id", "text", radius=radius, n_bands=4).collect()
+    }
+    assert got == expected  # exact pin, not just "ran"
+
+
+def test_fuzzy_join_first_char_typo(spark):
+    """Round-1 blocking (first char) silently missed position-0 typos —
+    the bigram/length-window keys must catch them (ADVICE round 1)."""
+    from who_owns_mass_processing_spark.operators import joins as J
+
+    left = spark.createDataFrame(pd.DataFrame({"n": ["BOSTON", "CAT"]}))
+    right = spark.createDataFrame(pd.DataFrame({"m": ["POSTON", "BAT", "XOSTON"]}))
+    out = J.fuzzy_join(left, right, "n", "m", max_dist=2, keep="all").toPandas()
+    got = set(zip(out.n, out.m))
+    assert ("BOSTON", "POSTON") in got  # first-char substitution, long string
+    assert ("BOSTON", "XOSTON") in got
+    assert ("CAT", "BAT") in got  # first-char substitution, short string

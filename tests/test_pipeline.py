@@ -116,3 +116,22 @@ def test_phash_input_column_matches_recomputed(spark, synth_small):
         .count()
     )
     assert bad == 0
+
+
+def test_second_round_networks_agree_with_tier_union(spark, synth_small, tmp_path_factory):
+    """C7: CC over (caption_cluster, image_cluster) group ids must induce
+    the same partition of images as CC over the tier-union edge list
+    (reference dedupe_network over group ids, R/deduplicaters.R:860-930)."""
+    workdir = str(tmp_path_factory.mktemp("stages_c7"))
+    images = spark.read.parquet(synth_small["images"])
+    out = run_pipeline(spark, images, workdir, DedupeConfig(), second_round=True)
+    assigns = out["assignments"].toPandas().set_index("image_id").cluster_id
+    nets = out["networks"].toPandas().set_index("image_id").network_id
+
+    def parts(s):
+        inv = {}
+        for k, v in s.items():
+            inv.setdefault(v, set()).add(k)
+        return {frozenset(g) for g in inv.values()}
+
+    assert parts(assigns) == parts(nets)

@@ -1,0 +1,123 @@
+"""Crosswalk ladders, flag lexicons, extraction, fuzzify key, LSH solver."""
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from who_owns_mass_processing_spark.functions import standardize as S
+from who_owns_mass_processing_spark.functions.lsh_params import (
+    candidate_recall,
+    solve_bands,
+)
+
+
+def _col(spark, values, expr):
+    df = spark.createDataFrame(pd.DataFrame({"v": values}))
+    return [r[0] for r in df.select(expr(F.col("v"))).collect()]
+
+
+def test_rule_ladder_order_is_load_bearing(spark):
+    # LIMITED -> LTD must run BEFORE "LTD LIABILITY COMPANY" -> LLC;
+    # running the ladder in order collapses the full phrase
+    out = _col(
+        spark,
+        ["ACME LIMITED LIABILITY COMPANY"],
+        lambda c: S.apply_rule_ladder(c, S.INST_TYPES),
+    )
+    assert out == ["ACME LLC"]
+
+
+def test_street_and_direction_crosswalks(spark):
+    out = _col(
+        spark,
+        ["123 N MAIN ST", "5 SW OAK AVE"],
+        lambda c: S.apply_rule_ladder(
+            S.apply_rule_ladder(c, S.DIRECTIONS), S.STREET_TYPES
+        ),
+    )
+    assert out == ["123 NORTH MAIN STREET", "5 SOUTHWEST OAK AVENUE"]
+
+
+def test_crosswalk_tokens_map(spark):
+    out = _col(
+        spark,
+        ["n main st", "st n"],
+        lambda c: S.crosswalk_tokens(c, {"n": "north", "st": "street"}),
+    )
+    assert out == ["north main street", "street north"]
+
+
+def test_flag_matches_word_boundary(spark):
+    out = _col(spark, ["ACME TRUST CO", "MISTRUSTFUL LLC"], lambda c: S.flag_matches(c, ["TRUST"]))
+    assert out == [True, False]
+
+
+def test_flag_trust_tiers_ladder(spark):
+    rows = [
+        "SMITH FAMILY TRUST",        # trust: TRUST token
+        "TRUSTEES OF MAIN STREET",   # trust: TRUSTEES OF prefix
+        "TRUSTEES OF BAY UNIVERSITY",  # academic: neither
+        "JOHN SMITH TRUSTEES",       # trustees role, not trust
+        "PLAIN PERSON",              # neither
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"v": rows}))
+    trust, trustees = S.flag_trust_tiers(F.col("v"))
+    got = df.select(trust.alias("t"), trustees.alias("s")).collect()
+    assert [(r.t, r.s) for r in got] == [
+        (True, False),
+        (True, False),
+        (False, False),
+        (False, True),
+        (False, False),
+    ]
+
+
+def test_extract_range_struct(spark):
+    rows = ["12-16 MAIN STREET", "7 OAK AVENUE", "NO NUMBER HERE", "9-3 WEIRD RANGE"]
+    df = spark.createDataFrame(pd.DataFrame({"v": rows}))
+    out = df.select(S.extract_range_struct(F.col("v")).alias("r")).select("r.*").collect()
+    assert (out[0].start, out[0].end, out[0].body, out[0].even) == (12.0, 16.0, "MAIN STREET", True)
+    assert (out[1].start, out[1].end, out[1].body, out[1].even) == (7.0, 7.0, "OAK AVENUE", False)
+    assert (out[2].start, out[2].end, out[2].body, out[2].even) == (None, None, None, False)
+    # end < start clamps to start (reference end rule, R/processors.R:89-99)
+    assert (out[3].start, out[3].end) == (9.0, 9.0)
+
+
+def test_fuzzify_key_anagrams_collide(spark):
+    out = _col(spark, ["SALT", "SLAT", "SALTY", None], S.fuzzify_key)
+    assert out[0] == out[1]          # anagrams sharing first/last char
+    assert out[0] != out[2]
+    assert out[3] is None
+
+
+def test_solve_bands_calibration():
+    # J>=0.8 with 128 perms: (16, 8) has recall 0.947 — the engine
+    # default sits just under the 0.95 floor, so the solver keeps it
+    # only at a 0.94 floor and steps to (32, 4) at the default
+    assert solve_bands(128, 0.8, min_recall=0.94) == (16, 8)
+    assert solve_bands(128, 0.8) == (32, 4)
+    # tau=0.70 must pick a looser banding than (16, 8) — the round-1
+    # miscalibration (candidate recall 0.61) is exactly what this fixes
+    b, r = solve_bands(128, 0.70)
+    assert candidate_recall(0.70, b, r) >= 0.95
+    assert r < 8
+    # near-exactness demand -> very small r
+    b2, r2 = solve_bands(128, 0.70, min_recall=1 - 1e-9)
+    assert candidate_recall(0.70, b2, r2) >= 1 - 1e-9
+    with pytest.raises(ValueError):
+        solve_bands(128, 0.0)
+
+
+def test_blank_to_null_and_spacing(spark):
+    from who_owns_mass_processing_spark.functions.standardize import (
+        SPACING_CHARS,
+        blank_to_null,
+    )
+
+    out = _col(spark, ["N/A", "NONE", " unknown ", "-", "", "REAL CO"], blank_to_null)
+    assert out == [None, None, None, None, None, "REAL CO"]
+    out2 = _col(
+        spark,
+        ["A & B CO.", "X /Y  Z"],
+        lambda c: S.apply_rule_ladder(c, SPACING_CHARS),
+    )
+    assert out2 == ["A AND B CO", "X Y Z"]

@@ -60,3 +60,50 @@ def test_stream_signatures_drains_and_resumes(spark, stream_dirs, synth_small, t
 
     mismatch = joined.where(F.col("m2") != F.col("minhash")).count()
     assert mismatch == 0
+
+
+def test_stream_first_seen_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState: first row per key survives, duplicates in
+    LATER microbatches are dropped by the state store (cross-batch)."""
+    import pandas as pd
+
+    from who_owns_mass_processing_spark.streaming.ingest import stream_first_seen
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pd.DataFrame({"k": ["a", "b"], "v": [1, 2]}).to_parquet(src / "f0.parquet", index=False)
+    pd.DataFrame({"k": ["b", "c"], "v": [3, 4]}).to_parquet(src / "f1.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema("k string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        stream_first_seen(stream, "k")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = spark.read.parquet(out_dir).toPandas()
+    assert sorted(got.key) == ["a", "b", "c"]  # second 'b' deduped
+
+    # a later drain with a duplicate key emits nothing new for it
+    pd.DataFrame({"k": ["a", "d"], "v": [9, 9]}).to_parquet(src / "f2.parquet", index=False)
+    q2 = (
+        stream_first_seen(stream, "k")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(300)
+    got2 = spark.read.parquet(out_dir).toPandas()
+    assert sorted(got2.key) == ["a", "b", "c", "d"]

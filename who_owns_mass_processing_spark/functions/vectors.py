@@ -11,6 +11,7 @@ band join).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -70,6 +71,90 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
         )
         bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
     return bucket
+
+
+def hyperplane_tables(dim: int, n_bits: int, n_tables: int, seed: int = 42) -> np.ndarray:
+    """(n_tables, n_bits, dim) independent hyperplane sets."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_bits, dim))
+
+
+def bucket_tables_udf(planes: np.ndarray):
+    """pandas UDF: embedding -> array<long> of per-table sign buckets.
+    One Arrow batch = one (batch x dim) @ (dim x n_tables*n_bits) matmul —
+    the vectorized replacement for 64 per-bit aggregate expressions."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_tables, n_bits, dim = planes.shape
+    flat = planes.reshape(n_tables * n_bits, dim).T  # (dim, T*B)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(vecs: pd.Series) -> pd.Series:
+        mat = np.array(list(vecs), dtype=np.float64)  # (n, dim)
+        signs = (mat @ flat) >= 0  # (n, T*B)
+        codes = signs.reshape(len(mat), n_tables, n_bits) @ weights  # (n, T)
+        return pd.Series(list(codes.astype(np.int64)))
+
+    return _udf
+
+
+def ann_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    probe_hamming1: bool = True,
+    cap: int = 2000,
+    hard_cap: int = 100000,
+) -> DataFrame:
+    """Scale-path ANN pairs: multi-table hyperplane LSH with Hamming-1
+    bucket expansion, verified with exact cosine >= threshold.
+
+    Round 1 used ONE 8-bit table, single-probe — measured ~2% candidate
+    recall at cos~0.45 (P(bucket match) = (1-acos(s)/pi)^8 ~ 0.03).  Both
+    fixes compose here: (a) `n_tables` independent tables OR'd together,
+    (b) each row is also indexed under every Hamming-1 neighbor of its
+    bucket, so two rows collide when their buckets differ by <= 2 bits.
+    Per-table collision P(ham<=2 | cos 0.45) ~ 0.43 -> 8 tables ~ 0.99
+    (measured 1.0 on the sf0.01 fixture; pytest gates recall >= 0.9).
+
+    Candidate generation reuses the banded-blocking machinery (salted
+    buckets, stop-band caps) with band_id = table index, so hot buckets
+    are skew-controlled exactly like MinHash bands at 10^12 scale.
+    """
+    from who_owns_mass_processing_spark.operators.blocking import candidate_pairs
+
+    sample = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if sample is None:  # empty input
+        return df.sparkSession.createDataFrame(
+            [], "a long, b long, cos_sim double"
+        )
+    planes = hyperplane_tables(int(sample["d"]), n_bits, n_tables, seed)
+    budf = bucket_tables_udf(planes)
+    slim = df.select(F.col(id_col), F.col(vec_col))
+    b = slim.select(id_col, F.posexplode(budf(F.col(vec_col))).alias("band_id", "bucket"))
+    if probe_hamming1:
+        masks = F.array(*[F.lit(1 << j).cast("long") for j in range(n_bits)])
+        probes = F.array_union(
+            F.array(F.col("bucket")),
+            F.transform(masks, lambda m: F.col("bucket").bitwiseXOR(m)),
+        )
+        b = b.select(id_col, "band_id", F.explode(probes).alias("band_hash"))
+    else:
+        b = b.select(id_col, "band_id", F.col("bucket").alias("band_hash"))
+    cands, _metrics = candidate_pairs(b, id_col, cap=cap, hard_cap=hard_cap)
+    fa = slim.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    fb = slim.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    return (
+        cands.join(fa, "a")
+        .join(fb, "b")
+        .select("a", "b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
 
 
 def ann_topk_bruteforce(

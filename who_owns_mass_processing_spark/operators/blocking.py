@@ -13,22 +13,29 @@ The heart of the engine.  Reference analog chain:
 Physical strategy (the part that must survive 100 TB):
 
   * Bucket census first (groupBy count — map-side partial agg), then one
-    hash join tags every band row with its bucket size.  Catalyst reuses
-    the join's hash partitioning for the downstream groupBy — no extra
-    shuffle.
-  * Pair generation for normal buckets is collect_list + a nested SQL
-    lambda (whole-stage-codegen'd, JVM-side), NOT a self-join: a bucket
-    of n rows becomes one array row and emits its C(n,2) pairs directly.
-    Memory is bounded by `cap` (<= cap structs per group).  This removes
-    two shuffles of the band table per call vs the join formulation.
-  * An optional `pair_predicate` is applied INSIDE the generation lambda
-    (e.g. popcount-Hamming <= r for pHash bands): failing pairs are
-    never materialized, which collapses the classic multi-index blow-up
-    (measured: 17.5M candidate rows -> 38k emitted pairs on the 280k-
-    image bench).
-  * Buckets above `cap` are salted (`xxhash(id) mod m`): within-salt
-    pairs via the same lambda per salt cell, cross-salt pairs via an
-    ordered salt-pair join — no single task exceeds ~cap^2 work.
+    hash join tags every band row with its bucket size.  The census
+    output is tiny (one row per bucket) and eagerly checkpointed, so the
+    join broadcasts under AQE.
+  * Every bucket is treated as a SALTED bucket with m = ceil(n/cap)
+    cells (normal buckets are the m=1 special case — one code path, not
+    three).  ONE groupBy produces the cell table: (band_id, band_hash,
+    salt, items sort_array(collect_list)); the band table is scanned
+    exactly twice total (census + cell build) and NOTHING is persisted —
+    the cell table is eagerly localCheckpoint'ed (bounded: ids +
+    payloads, never raw rows) and its blocks are freed by the context
+    cleaner when the DataFrame goes out of scope.  Round 1 persisted the
+    tagged band table across four consumers and never unpersisted it;
+    repeated calls accumulated cache and the storage-vs-execution memory
+    contention was a measured drag at 32 cores.
+  * Within-cell pairs via a nested SQL lambda (whole-stage-codegen'd,
+    JVM-side), NOT a self-join: a cell of n rows becomes one array row
+    and emits its C(n,2) pairs directly.  An optional `pair_predicate`
+    runs INSIDE the lambda (e.g. popcount-Hamming <= r for pHash bands):
+    failing pairs are never materialized (measured: 17.5M candidates ->
+    38k emitted pairs on the 280k-image bench).
+  * Cross-cell pairs of split buckets via a cell-level self-join
+    (salt_l < salt_r) + a two-array lambda — no row-level join, each
+    cell-pair task does <= cap^2 bounded work.
   * Buckets above `hard_cap` are stop bands: dropped and *counted*,
     mirroring the reference's blank-name NULLing.
   * Cross-band duplicate candidates collapse via groupBy(a, b) —
@@ -60,6 +67,24 @@ def _pairs_from_items(items: Column, pair_predicate=None) -> Column:
     return F.flatten(F.transform(items, inner))
 
 
+def _cross_pairs_from_cells(items_l: Column, items_r: Column, pair_predicate=None) -> Column:
+    """All left x right pairs of two disjoint cell arrays, predicate fused,
+    (a, b) normalized to a < b."""
+    def inner(x):
+        candidates = items_r
+        if pair_predicate is not None:
+            candidates = F.filter(candidates, lambda y: pair_predicate(x, y))
+        return F.transform(
+            candidates,
+            lambda y: F.struct(
+                F.least(x["id"], y["id"]).alias("a"),
+                F.greatest(x["id"], y["id"]).alias("b"),
+            ),
+        )
+
+    return F.flatten(F.transform(items_l, inner))
+
+
 def candidate_pairs(
     bands_df: DataFrame,
     id_col: str,
@@ -83,67 +108,53 @@ def candidate_pairs(
     payload = F.col(payload_col) if payload_col else F.lit(0)
     item = F.struct(F.col(id_col).alias("id"), payload.alias("payload"))
 
-    sizes = bucket_sizes(bands_df)
-    # tagged feeds four consumers (kept, salted x2, implicitly metrics via
-    # sizes); persist so the census+join shuffle runs once, not per branch
-    # (MEMORY_AND_DISK, evicted under pressure — rows are ids + 3 longs)
-    tagged = bands_df.join(sizes, ["band_id", "band_hash"]).persist()
+    # census: one tiny row per bucket; checkpoint so the tag join reads a
+    # materialized table (AQE then broadcasts it) instead of recomputing
+    # the census per consumer
+    sizes = bucket_sizes(bands_df).localCheckpoint(eager=True)
 
-    # --- normal buckets: collect + lambda pair generation ------------------
-    kept_items = (
-        tagged.where(F.col("bucket_n") <= cap)
-        .groupBy("band_id", "band_hash")
-        .agg(F.sort_array(F.collect_list(item)).alias("items"))
+    tagged = bands_df.join(sizes, ["band_id", "band_hash"]).where(
+        F.col("bucket_n") <= hard_cap
     )
-    pairs_normal = kept_items.select(
+    m = F.ceil(F.col("bucket_n") / F.lit(cap)).cast("int")
+    salted = tagged.withColumn("m", m).withColumn(
+        "salt",
+        F.when(F.col("m") > 1, F.pmod(F.xxhash64(F.col(id_col)), F.col("m")))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    # ONE pass builds every cell (normal buckets are m=1 cells); eager
+    # checkpoint: feeds within-pairs once and cross-pairs twice
+    cells = (
+        salted.groupBy("band_id", "band_hash", "m", "salt")
+        .agg(F.sort_array(F.collect_list(item)).alias("items"))
+        .localCheckpoint(eager=True)
+    )
+
+    within = cells.select(
         F.explode(_pairs_from_items(F.col("items"), pair_predicate)).alias("p")
     ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
 
-    # --- salted buckets: bound per-task fan-out -----------------------------
-    salted_src = tagged.where((F.col("bucket_n") > cap) & (F.col("bucket_n") <= hard_cap))
-    m = F.ceil(F.col("bucket_n") / F.lit(cap)).cast("int")
-    salted = salted_src.withColumn("m", m).withColumn(
-        "salt", F.pmod(F.xxhash64(F.col(id_col)), F.col("m")).cast("int")
+    multi = cells.where(F.col("m") > 1)
+    cl = multi.select(
+        "band_id", "band_hash", F.col("salt").alias("salt_l"), F.col("items").alias("items_l")
     )
-    # within-salt cells: same collect+lambda, grouped by (bucket, salt)
-    within = (
-        salted.groupBy("band_id", "band_hash", "salt")
-        .agg(F.sort_array(F.collect_list(item)).alias("items"))
-        .select(F.explode(_pairs_from_items(F.col("items"), pair_predicate)).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    cr = multi.select(
+        "band_id", "band_hash", F.col("salt").alias("salt_r"), F.col("items").alias("items_r")
     )
-    # cross-salt cells (salt < salt_b): ordered salt-pair join; each
-    # unordered pair appears exactly once, normalized by least/greatest
-    sl = salted.select(
-        "band_id", "band_hash", "m", "salt",
-        F.col(id_col).alias("a"), payload.alias("pa"),
-    )
-    sr = salted.select(
-        "band_id", "band_hash", F.col("salt").alias("salt_b"),
-        F.col(id_col).alias("b"), payload.alias("pb"),
-    )
-    # NB: F.sequence(start, stop) runs DESCENDING when start > stop —
-    # guard the last salt cell or it joins itself
-    salt_targets = F.when(
-        F.col("salt") + 1 <= F.col("m") - 1,
-        F.sequence(F.col("salt") + 1, F.col("m") - 1),
-    ).otherwise(F.array().cast("array<int>"))
-    sl_exp = sl.withColumn("salt_b", F.explode(salt_targets))
-    cross = sl_exp.join(sr, ["band_id", "band_hash", "salt_b"])
-    if pair_predicate is not None:
-        cross = cross.where(
-            pair_predicate(
-                F.struct(F.col("a").alias("id"), F.col("pa").alias("payload")),
-                F.struct(F.col("b").alias("id"), F.col("pb").alias("payload")),
-            )
+    cross = (
+        cl.join(cr, ["band_id", "band_hash"])
+        .where(F.col("salt_l") < F.col("salt_r"))
+        .select(
+            F.explode(
+                _cross_pairs_from_cells(F.col("items_l"), F.col("items_r"), pair_predicate)
+            ).alias("p")
         )
-    pairs_cross = cross.select(
-        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     )
 
     pairs = (
-        pairs_normal.unionByName(within)
-        .unionByName(pairs_cross)
+        within.unionByName(cross)
         .groupBy("a", "b")
         .agg(F.lit(1).alias("_one"))
         .drop("_one")

@@ -87,3 +87,13 @@ def top1_per_group(df: DataFrame, group_cols: list[str], order_by: list[Column])
     global sort)."""
     w = Window.partitionBy(*group_cols).orderBy(*order_by)
     return df.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1).drop("_rk")
+
+
+def vintage_pick(df: DataFrame, key_cols: list[str], vintage_col: str) -> DataFrame:
+    """S2/O3 vintage resolution over a multi-snapshot union: the row with
+    the HIGHEST vintage per key wins (reference loaders keep the latest
+    assessment/parcel vintage per entity, R/loaders.R:3-88).  Determinism:
+    ties broken by the remaining columns ascending."""
+    others = [c for c in df.columns if c not in key_cols and c != vintage_col]
+    order = [F.desc(vintage_col)] + [F.asc(c) for c in others]
+    return top1_per_group(df, key_cols, order)

@@ -55,7 +55,13 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, cfg: DedupeCon
     """
     slim = df.select(F.col(id_col), F.col(text_col))
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if slim.rdd.getNumPartitions() < n_part:
+    # partition probe without forcing an RDD conversion when the source is
+    # a file scan (inputFiles is a metadata call); .rdd only as fallback
+    # for non-file sources (cached/checkpointed inputs already have
+    # materialized partitions, so it stays job-free there too)
+    files = slim.inputFiles()
+    n_in = len(files) if files else slim.rdd.getNumPartitions()
+    if n_in < n_part:
         slim = slim.repartition(n_part)
     df = slim
     sig = signature_udf(cfg.shingle_k, cfg.num_perm, cfg.minhash_seed)
@@ -99,7 +105,7 @@ def exact_fingerprint_edges(sigs: DataFrame, id_col: str) -> DataFrame:
 
 
 def rep_pairs_from_sigs(
-    sigs: DataFrame, id_col: str, cfg: DedupeConfig
+    sigs: DataFrame, id_col: str, cfg: DedupeConfig, corpus_rows: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """LSH over one representative per distinct fingerprint.
 
@@ -115,13 +121,17 @@ def rep_pairs_from_sigs(
     are representative ids.
     """
     reps = sigs.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    # checkpoint: rep_sigs feeds banding AND the verify join AND the count
-    # below — without it the groupBy+semi-join recomputes three times
+    # checkpoint: rep_sigs feeds banding AND the verify join — without it
+    # the groupBy+semi-join recomputes per consumer
     rep_sigs = sigs.join(reps, [id_col, "fingerprint"], "left_semi").localCheckpoint(eager=True)
-    n_reps = rep_sigs.count()
+    # stop threshold scales with the corpus; callers that already know the
+    # row count pass it and skip a count job (one fewer barrier per call —
+    # using corpus rows instead of rep rows only RAISES the drop threshold,
+    # i.e. fewer drops: recall-safe)
+    n_rows = corpus_rows if corpus_rows is not None else rep_sigs.count()
     bands = band_explode(rep_sigs, "minhash", id_col, cfg.bands, cfg.rows_per_band)
     cands, metrics = candidate_pairs(
-        bands, id_col, cap=cfg.band_bucket_cap, hard_cap=cfg.stop_band_threshold(n_reps)
+        bands, id_col, cap=cfg.band_bucket_cap, hard_cap=cfg.stop_band_threshold(n_rows)
     )
     verified = verify_jaccard(
         cands, rep_sigs.select(id_col, "codes"), id_col, "codes", cfg.jaccard_threshold

@@ -41,22 +41,34 @@ def dedupe_entities(
     cfg: DedupeConfig | None = None,
     tau_inst: float = 0.70,
     tau_indiv: float = 0.90,
+    lsh_min_recall: float = 0.95,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (assignments(id, cluster_id), clusters(cluster_id, size,
     canonical_name)).
 
     tau_indiv must be >= tau_inst (strict tier for unbounded individuals
     is the whole point — reference config.R:28-29).
+
+    The LSH banding is DERIVED from tau_inst via solve_bands so candidate
+    recall at the loose verify threshold clears `lsh_min_recall` — round 1
+    ran the engine-default (16, 8) here, which at tau=0.70 yields only
+    ~0.61 candidate recall (P = 1-(1-0.7^8)^16); the solver picks (32, 4)
+    at the default floor.  Pass lsh_min_recall≈1-1e-9 for oracle-exact
+    runs.
     """
+    from who_owns_mass_processing_spark.functions.lsh_params import solve_bands
+
     cfg = cfg or DedupeConfig()
     if tau_indiv < tau_inst:
         raise ValueError("individual tier must be at least as strict as inst tier")
 
+    bands, _rows = solve_bands(cfg.num_perm, tau_inst, lsh_min_recall)
     # candidate pairs at the loose tier: one LSH pass serves both tiers
     loose_cfg = DedupeConfig(
         **{
             **{f: getattr(cfg, f) for f in cfg.__dataclass_fields__},
             "jaccard_threshold": tau_inst,
+            "bands": bands,
         }
     )
     pairs, skew = lsh_near_dup_pairs(df, id_col, name_col, loose_cfg)

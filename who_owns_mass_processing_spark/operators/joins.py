@@ -66,6 +66,38 @@ def range_join(
     return left.join(right, cond, how)
 
 
+def _bigram_block_keys(c: Column, max_dist: int) -> Column:
+    """Multi-key blocking with a RECALL GUARANTEE for levenshtein <= d:
+
+    * strings of length >= 2d+2: distinct char bigrams.  A string of
+      length n has n-1 bigram positions and one edit alters at most two
+      of them (an indel shifts positions but preserves suffix bigram
+      *content*), so two strings within distance d share at least
+      (n-1) - 2d >= 1 distinct bigram — including first-character typos,
+      which the round-1 first-char blocking silently missed.
+    * strings of length <= 3d+1: additionally (or, below 2d+2, only)
+      length-window keys L{len-d}..L{len} on BOTH sides — two strings
+      collide iff their lengths differ by <= d, which levenshtein <= d
+      implies.  The overlap band [2d+2, 3d+1] emits BOTH key classes so
+      a boundary-straddling pair (e.g. 6-char vs 5-char at d=2) still
+      collides.  Sub-(3d+1) strings are a small finite set, so the
+      quasi-cross-join within a length window is bounded.
+    """
+    n = F.length(c)
+    empty = F.array().cast("array<string>")
+    bigrams = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n - 1), lambda i: c.substr(i, F.lit(2)))
+    )
+    len_keys = F.transform(
+        F.sequence(F.greatest(n - max_dist, F.lit(0)), n),
+        lambda length: F.concat(F.lit("#L"), length.cast("string")),
+    )
+    return F.concat(
+        F.when(n >= 2 * max_dist + 2, bigrams).otherwise(empty),
+        F.when(n <= 3 * max_dist + 1, len_keys).otherwise(empty),
+    )
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -77,22 +109,35 @@ def fuzzy_join(
 ) -> DataFrame:
     """Block-then-verify fuzzy equi-join on string distance.
 
-    block_fn(col) -> Column builds the blocking key (default: first char +
-    length bucket — any candidate within levenshtein<=2 of a string shares
-    a first char or is caught by the length +-2 window... at scale supply
-    a domain key).  Verify = builtin levenshtein; keep="best" keeps the
-    minimum-distance match per left row (slice_min parity), tie-broken by
-    right value asc.
+    Default blocking is multi-key char-bigram / length-window
+    (`_bigram_block_keys`) with guaranteed recall at levenshtein <=
+    max_dist; candidates are generated over DISTINCT values (dup rows
+    never multiply the candidate join) and verified with builtin
+    levenshtein.  A custom single-key `block_fn(col) -> Column` replaces
+    it when a domain key is stronger (e.g. fuzzify_key anagram blocking
+    from functions.standardize).  keep="best" keeps the minimum-distance
+    match per left row (slice_min parity, ref R/standardizers.R:
+    1629-1653), tie-broken by right value asc.
     """
-    if block_fn is None:
-        def block_fn(c):
-            return F.substring(c, 1, 1)
-
-    l2 = left.withColumn("_bk", block_fn(F.col(left_col)))
-    r2 = right.withColumn("_bk", block_fn(F.col(right_col)))
-    joined = l2.join(r2, "_bk").withColumn(
+    lv = left.select(F.col(left_col)).where(F.col(left_col).isNotNull()).distinct()
+    rv = right.select(F.col(right_col)).where(F.col(right_col).isNotNull()).distinct()
+    if block_fn is not None:
+        lk = lv.withColumn("_bk", block_fn(F.col(left_col)))
+        rk = rv.withColumn("_bk", block_fn(F.col(right_col)))
+    else:
+        lk = lv.withColumn("_bk", F.explode(_bigram_block_keys(F.col(left_col), max_dist)))
+        rk = rv.withColumn("_bk", F.explode(_bigram_block_keys(F.col(right_col), max_dist)))
+    cand = (
+        lk.join(rk, "_bk")
+        .select(left_col, right_col)
+        .groupBy(left_col, right_col)  # collapse multi-key duplicates map-side
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    verified = cand.withColumn(
         "dist", F.levenshtein(F.col(left_col), F.col(right_col))
-    ).where(F.col("dist") <= max_dist).drop("_bk")
+    ).where(F.col("dist") <= max_dist)
+    joined = left.join(verified, left_col).join(right, right_col)
     if keep == "best":
         w = Window.partitionBy(left_col).orderBy(F.asc("dist"), F.asc(right_col))
         joined = joined.withColumn("_rk", F.row_number().over(w)).where(

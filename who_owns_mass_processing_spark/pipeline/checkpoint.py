@@ -60,11 +60,27 @@ class StageCatalog:
         return self.spark.read.parquet(self._stage_path(stage))
 
     def write(self, stage: str, df: DataFrame, partition_by: list[str] | None = None) -> DataFrame:
+        """Atomic stage overwrite: compute into a temp dir, mark the stage
+        incomplete, then swap directories and re-add the manifest entry.
+        A kill at ANY point leaves either (old data + old manifest entry)
+        or (no manifest entry -> stage recomputes on resume) — never a
+        manifest entry pointing at partial data (the killed-run resume
+        contract; Iceberg gives this via snapshot commit, the parquet
+        backend via rename)."""
+        import shutil
+
         path = self._stage_path(stage)
+        tmp = f"{path}.tmp-{self._manifest['snapshot_seq'] + 1}"
+        shutil.rmtree(tmp, ignore_errors=True)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
+        writer.parquet(tmp)
+        # point of no return for the OLD data: invalidate first so a kill
+        # mid-swap reads as "stage missing", not "stage complete"
+        self.invalidate(stage)
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)
         out = self.spark.read.parquet(path)
         self._manifest["snapshot_seq"] += 1
         self._manifest["stages"][stage] = {
@@ -76,6 +92,25 @@ class StageCatalog:
         }
         self._save_manifest()
         return out
+
+    def append(self, stage: str, df: DataFrame) -> DataFrame:
+        """Truncate-and-append sink, append leg (S8; reference analog:
+        the DBI::dbAppendTable path of load_read_write, R/loaders.R:373-438).
+        Each append is a new snapshot: rows accumulate, the manifest
+        records the running count and bumps the snapshot id, and readers
+        of an existing complete stage see old+new rows.  First append on
+        a missing stage creates it."""
+        path = self._stage_path(stage)
+        if self.is_complete(stage):
+            df.write.mode("append").parquet(path)
+            out = self.spark.read.parquet(path)
+            self._manifest["snapshot_seq"] += 1
+            entry = self._manifest["stages"][stage]
+            entry["snapshot_id"] = self._manifest["snapshot_seq"]
+            entry["rows"] = out.count()
+            self._save_manifest()
+            return out
+        return self.write(stage, df)
 
     def read_or_compute(
         self,

@@ -43,6 +43,7 @@ def run_pipeline(
     workdir: str,
     cfg: DedupeConfig | None = None,
     refresh: bool = False,
+    second_round: bool = False,
 ) -> dict[str, DataFrame]:
     cfg = cfg or DedupeConfig()
     cat = StageCatalog(spark, workdir, cfg.fingerprint())
@@ -77,7 +78,7 @@ def run_pipeline(
         # LSH over distinct-fingerprint representatives only (identical
         # captions never enter banding — their mega-buckets are pure
         # fan-out), plus linear star edges for the exact-dup families.
-        rep_pairs, skew = rep_pairs_from_sigs(sigs, "image_id", cfg)
+        rep_pairs, skew = rep_pairs_from_sigs(sigs, "image_id", cfg, corpus_rows=n_rows)
         cat.write("caption_band_skew", skew)
         exact = exact_fingerprint_edges(sigs, "image_id")
         return (
@@ -180,6 +181,47 @@ def run_pipeline(
 
     clusters = cat.read_or_compute("clusters", _clusters)
 
+    # --- optional C7 second network round --------------------------------------
+    # Reference analog: community detection over GROUP ids rather than row
+    # ids (dedupe_network over (company_group, officer group),
+    # R/deduplicaters.R:860-930).  Each tier is clustered on its own,
+    # then connected components run over the bipartite graph of
+    # (caption_cluster_id, image_cluster_id) — mathematically this
+    # fuses the same components as the tier-union CC above (pinned by
+    # tests/test_pipeline.py), but it is the reference's staged shape
+    # and the group graph is orders of magnitude smaller than the row
+    # graph at scale.
+    networks = None
+    if second_round:
+        from who_owns_mass_processing_spark.operators.network import network_round
+
+        def _networks() -> DataFrame:
+            cap_cc = with_singletons(
+                ingested, "image_id",
+                connected_components(
+                    caption_pairs.select("a", "b").distinct(),
+                    max_iterations=cfg.cc_max_iterations,
+                    checkpoint_every=cfg.cc_checkpoint_every,
+                ),
+            ).select(F.col("node").alias("image_id"), F.col("component").alias("caption_cluster"))
+            img_edges = (
+                image_pairs.select("a", "b")
+                .unionByName(image_exact_edges.select("a", "b"))
+                .distinct()
+            )
+            img_cc = with_singletons(
+                ingested, "image_id",
+                connected_components(
+                    img_edges,
+                    max_iterations=cfg.cc_max_iterations,
+                    checkpoint_every=cfg.cc_checkpoint_every,
+                ),
+            ).select(F.col("node").alias("image_id"), F.col("component").alias("image_cluster"))
+            rows = cap_cc.join(img_cc, "image_id")
+            return network_round(rows, ["caption_cluster", "image_cluster"])
+
+        networks = cat.read_or_compute("networks", _networks)
+
     # --- metrics + lineage ------------------------------------------------------
     def _partition_metrics() -> DataFrame:
         """Per-partition input metrics (north_rule: per-partition lineage
@@ -209,7 +251,7 @@ def run_pipeline(
     metrics = cat.read_or_compute("metrics", _metrics)
     lineage = spark.createDataFrame(cat.lineage())
 
-    return {
+    out = {
         "ingest": ingested,
         "signatures": sigs,
         "caption_pairs": caption_pairs,
@@ -221,3 +263,6 @@ def run_pipeline(
         "partition_metrics": partition_metrics,
         "lineage": lineage,
     }
+    if networks is not None:
+        out["networks"] = networks
+    return out

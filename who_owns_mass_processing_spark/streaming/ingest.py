@@ -68,6 +68,58 @@ def stream_signatures(
     )
 
 
+def stream_first_seen(
+    stream: DataFrame,
+    key_col: str,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Stateful cross-microbatch exact dedup: emit only the FIRST row seen
+    per key (e.g. caption fingerprint or byte sha) across the life of the
+    stream — the streaming twin of the exact-fingerprint tier.
+
+    Custom stateful operator via applyInPandasWithState (the engine's
+    only per-key streaming state): state = one boolean per key, so state
+    size is O(distinct keys), the same cardinality the batch exact tier
+    shuffles.  Downstream LSH/clustering stays batch over the deduped
+    signature table (see module docstring).
+
+    Returns a streaming DataFrame (key, first_row_json) — kept to two
+    fixed-width-ish columns so the state store never holds payloads.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StructType
+
+    out_schema = "key string, payload string"
+    state_schema = "seen boolean"
+    assert isinstance(stream.schema, StructType)
+
+    def fn(key, pdfs, state: GroupState):
+        import json as _json
+
+        if state.exists:
+            return
+        first = None
+        for pdf in pdfs:
+            if len(pdf):
+                row = pdf.iloc[0]
+                first = _json.dumps({c: str(row[c]) for c in pdf.columns})
+                break
+        if first is None:
+            return
+        state.update((True,))
+        import pandas as _pd
+
+        yield _pd.DataFrame({"key": [key[0]], "payload": [first]})
+
+    # streaming groupBy re-resolves grouping expressions against the child
+    # plan, so an inline alias doesn't survive — materialize the key column
+    keyed = stream.withColumn("_fs_key", F.col(key_col).cast("string")).groupBy("_fs_key")
+    return keyed.applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        getattr(GroupStateTimeout, timeout),
+    )
+
+
 def ingest_rate_metrics(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming-metrics shape: per-10-minute ingest counts with a
     watermark for late rows (works on any streaming DF with `ts`)."""
