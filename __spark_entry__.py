@@ -640,6 +640,30 @@ def q_vintage_pick(spark, sf_dir):
     ).select("doc_id", "snapshot_id", "text")
 
 
+def q_substring_dup_spans(spark, sf_dir):
+    """Suffix-array-equivalent substring dedup (Lee et al. 2022), span
+    form: maximal regions of each document whose length-25 windows occur
+    >= 2 times corpus-wide, merged by overlap.  Linear end to end —
+    explode / groupBy / join / per-doc window, no pair listing."""
+    from who_owns_mass_processing_spark.operators.substrings import substring_dup_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return substring_dup_spans(d, "doc_id", "text", min_len=25)
+
+
+def q_substring_dup_pairs(spark, sf_dir):
+    """Cross-doc verbatim-overlap pairs: (a, b, n_shared) distinct
+    shared 25-grams — the SQL-checkable all-pairs twin of the blocked +
+    LCS-verified scale path (substring_dup_pairs_blocked, pytest-pinned
+    against it)."""
+    from who_owns_mass_processing_spark.operators.substrings import (
+        substring_dup_pairs_exact,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return substring_dup_pairs_exact(d, "doc_id", "text", min_len=25)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_filter_project": q_scan_filter_project,
@@ -691,6 +715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_dedup_bounded": q_entity_dedup,
         "network_round": q_network_round,
         "vintage_pick": q_vintage_pick,
+        "substring_dup_spans": q_substring_dup_spans,
+        "substring_dup_pairs": q_substring_dup_pairs,
     }
 
 
@@ -1177,6 +1203,49 @@ def oracle_sql() -> dict[str, str]:
               FROM snaps
             )
             SELECT doc_id, snapshot_id, text FROM r WHERE rk = 1
+        """,
+        "substring_dup_spans": """
+            WITH pos AS (
+              SELECT doc_id, text,
+                     unnest(range(0, greatest(length(text) - 25 + 1, 0))) AS pos
+              FROM documents
+            ),
+            occ AS (
+              SELECT doc_id, pos, substr(text, CAST(pos AS INT) + 1, 25) AS gram
+              FROM pos
+            ),
+            freq AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2),
+            dupocc AS (SELECT o.doc_id, o.pos FROM occ o JOIN freq USING (gram)),
+            brks AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                    ORDER BY pos) <= 25
+                          THEN 0 ELSE 1 END AS brk
+              FROM dupocc
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS i
+              FROM brks
+            )
+            SELECT doc_id, min(pos) AS span_start, max(pos) + 25 AS span_end,
+                   count(*) AS n_grams
+            FROM isl GROUP BY doc_id, i
+        """,
+        "substring_dup_pairs": """
+            WITH pos AS (
+              SELECT doc_id, text,
+                     unnest(range(0, greatest(length(text) - 25 + 1, 0))) AS pos
+              FROM documents
+            ),
+            docc AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(pos AS INT) + 1, 25) AS gram
+              FROM pos
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+            FROM docc a JOIN docc b USING (gram)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
         """,
         # simhash_pairs: intentionally no oracle (hash-seeded banding is not
         # reasonably SQL-expressible) -> driver records rows-only check;

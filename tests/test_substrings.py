@@ -1,0 +1,131 @@
+"""Substring (suffix-array-equivalent) dedup tier.
+
+Golden strategy: a hand-built fixture with planted verbatim overlaps,
+spans checked against a pure-python mirror, and the blocked+LCS scale
+path checked against the exact all-pairs listing (same contract as the
+MinHash rep-level tests)."""
+
+from __future__ import annotations
+
+import pytest
+
+from who_owns_mass_processing_spark.operators.substrings import (
+    lcs_substring_py,
+    substring_dup_pairs_blocked,
+    substring_dup_pairs_exact,
+    substring_dup_spans,
+)
+
+L = 10
+
+DOCS = [
+    # 0/1 share a 24-char verbatim run in the middle
+    (0, "aaaa THE QUICK BROWN FOX JUMPS zzzz padding tail 0"),
+    (1, "bbbb THE QUICK BROWN FOX JUMPS yyyy other tail 111"),
+    # 2 repeats a window within itself (within-doc duplication)
+    (2, "cccc REPEATED BLOCK HERE.. REPEATED BLOCK HERE.. q"),
+    # 3 shares nothing >= L with anyone
+    (3, "unique content entirely of its own kind 3333333333"),
+    # 4 short doc (< L): must emit nothing
+    (4, "tiny"),
+    # 5/6 share a run at the very start (pos-0 edge)
+    (5, "SHARED PREFIX RUN X tail five ............... 5555"),
+    (6, "SHARED PREFIX RUN X tail six ................ 6666"),
+]
+
+
+def _mirror_spans(docs, min_len, min_count=2):
+    """Pure-python mirror of the L-gram span semantics."""
+    occ = []  # (doc, pos, gram)
+    for did, text in docs:
+        for p in range(len(text) - min_len + 1):
+            occ.append((did, p, text[p : p + min_len]))
+    from collections import Counter
+
+    freq = Counter(g for _, _, g in occ)
+    spans = {}
+    for did, text in docs:
+        positions = [
+            p
+            for (d, p, g) in occ
+            if d == did and freq[g] >= min_count
+        ]
+        out = []
+        for p in sorted(positions):
+            if out and p <= out[-1][1]:
+                s, e, n = out[-1]
+                out[-1] = (s, max(e, p + min_len), n + 1)
+            else:
+                out.append((p, p + min_len, 1))
+        for s, e, n in out:
+            spans[(did, s)] = (e, n)
+    return spans
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_spans_match_python_mirror(spark, docs_df):
+    got = {
+        (r.doc_id, r.span_start): (r.span_end, r.n_grams)
+        for r in substring_dup_spans(docs_df, "doc_id", "text", L).collect()
+    }
+    want = _mirror_spans(DOCS, L)
+    assert got == want
+    # sanity on the fixture itself: docs 0,1,2,5,6 have spans; 3,4 don't
+    assert {d for d, _ in got} == {0, 1, 2, 5, 6}
+    # pos-0 edge: docs 5/6 span starts at 0
+    assert (5, 0) in got and (6, 0) in got
+
+
+def test_short_docs_emit_nothing(spark):
+    df = spark.createDataFrame([(0, "tiny"), (1, "tin")], ["doc_id", "text"])
+    assert substring_dup_spans(df, "doc_id", "text", L).count() == 0
+
+
+def test_cross_doc_only_excludes_within_doc_repeats(spark, docs_df):
+    spans = substring_dup_spans(
+        docs_df, "doc_id", "text", L, cross_doc_only=True
+    ).collect()
+    assert {r.doc_id for r in spans} == {0, 1, 5, 6}  # doc 2 drops out
+
+
+def test_blocked_pairs_match_exact_with_lcs(spark, docs_df):
+    exact = {
+        (r.a, r.b)
+        for r in substring_dup_pairs_exact(docs_df, "doc_id", "text", L).collect()
+    }
+    blocked, metrics = substring_dup_pairs_blocked(docs_df, "doc_id", "text", L)
+    rows = blocked.collect()
+    got = {(r.a, r.b) for r in rows}
+    # every cross-doc pair with a shared L-gram has LCS >= L, so the two
+    # listings agree exactly (no caps hit on this fixture)
+    assert got == exact == {(0, 1), (5, 6)}
+    # LCS values are exact per the python kernel
+    texts = dict(DOCS)
+    for r in rows:
+        assert r.lcs_len == lcs_substring_py(texts[r.a], texts[r.b])
+        assert r.lcs_len >= L
+    assert metrics.count() >= 1
+
+
+def test_lcs_kernel():
+    assert lcs_substring_py("", "abc") == 0
+    assert lcs_substring_py("abc", "") == 0
+    assert lcs_substring_py("abcdef", "zabcq") == 3  # "abc"
+    assert lcs_substring_py("xyz", "abc") == 0
+    assert lcs_substring_py("banana", "ananas") == 5  # "anana"
+    # symmetric
+    assert lcs_substring_py("hello world", "world hello") == lcs_substring_py(
+        "world hello", "hello world"
+    )
+
+
+def test_spans_partition_invariant(spark, docs_df):
+    base = substring_dup_spans(docs_df, "doc_id", "text", L).collect()
+    rep = substring_dup_spans(
+        docs_df.repartition(7), "doc_id", "text", L
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, rep))

@@ -1,0 +1,256 @@
+"""Exact-substring duplication: the suffix-array tier of the dedup
+surface (MinHash = set-similarity, SimHash = bit-similarity, THIS =
+verbatim-overlap).
+
+Semantics follow the suffix-array substring dedup of Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better": find every
+maximal region of every document whose content (any window of length
+>= min_len) occurs elsewhere in the corpus.  The classic single-node
+build is a suffix array over the concatenated corpus; that structure is
+driver-sized and does not distribute.  This module uses the exact
+L-gram reduction instead, which is *equivalent for detection*:
+
+    a substring of length >= L occurs twice in the corpus
+        <=>  some L-gram occurs twice,
+
+and the duplicated region recovered by merging overlapping duplicated
+L-gram windows is exactly the region a suffix array would report for
+threshold L.  The reduction is Spark-shaped: grams are fixed-width
+int64 keys (xxhash64), so the whole operator is explode -> groupBy ->
+join -> per-doc window, all JVM-side, no Python in the corpus-wide
+path.  (Collision note: two distinct grams sharing an xxhash64 value
+could mark a false duplicate; at 10^12 rows x ~10^3 grams the expected
+collision count over a 2^64 keyspace is ~10^-4 corpus-wide.)
+
+Pair listing is where the quadratic trap lives (a gram shared by n docs
+implies C(n,2) pairs), so the scale path routes shared-gram buckets
+through the salted/capped/stop-band blocking machinery
+(operators/blocking.py) and verifies survivors with an exact
+longest-common-substring check (linear-time suffix automaton — the
+suffix structure appears here, on candidate pairs only, never
+corpus-wide).
+
+Reference analog: the reference has no substring tier (its unit is the
+whole standardized name, R/deduplicaters.R:208-223); this is part of
+the LLM-training-data surface mandated by the graft's north rule.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def lgram_occurrences(
+    df: DataFrame, id_col: str, text_col: str, min_len: int
+) -> DataFrame:
+    """(id, pos, gram_hash) for every length-`min_len` window.
+
+    pos is the 0-based character offset; gram_hash = xxhash64 of the
+    window text.  Docs shorter than min_len emit nothing.  The gram
+    array is built by a codegen'd `transform` over the text column and
+    posexploded, so the text itself is never duplicated per position
+    and never shuffles — only (id, int, int64) rows leave the scan
+    stage.
+    """
+    L = int(min_len)
+    txt = F.col(text_col)
+    last = (F.length(txt) - F.lit(L)).cast("int")
+    grams = F.when(
+        last >= 0,
+        F.transform(
+            F.sequence(F.lit(0), last),
+            lambda p: F.xxhash64(txt.substr(p + F.lit(1), F.lit(L))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram_hash")
+    ).select(F.col(id_col), F.col("pos").cast("long").alias("pos"), "gram_hash")
+
+
+def duplicated_grams(
+    occ: DataFrame,
+    id_col: str,
+    min_count: int = 2,
+    cross_doc_only: bool = False,
+) -> DataFrame:
+    """gram_hash values occurring >= min_count times corpus-wide (and in
+    >= 2 distinct docs when cross_doc_only).  Two-level aggregation:
+    (gram, doc) partial counts first, so the per-gram rollup sees one
+    row per doc, not one per occurrence — the map-side combine that
+    keeps a 10^9-occurrence boilerplate gram from concentrating on one
+    reducer."""
+    per_doc = occ.groupBy("gram_hash", id_col).agg(F.count("*").alias("_c"))
+    freq = per_doc.groupBy("gram_hash").agg(
+        F.sum("_c").alias("n_occ"), F.count("*").alias("n_docs")
+    )
+    cond = F.col("n_occ") >= F.lit(min_count)
+    if cross_doc_only:
+        cond = cond & (F.col("n_docs") >= 2)
+    return freq.where(cond).select("gram_hash")
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+    min_count: int = 2,
+    cross_doc_only: bool = False,
+) -> DataFrame:
+    """Maximal duplicated regions per document.
+
+    Returns (id, span_start, span_end, n_grams): [span_start, span_end)
+    half-open char offsets of each maximal run of duplicated
+    `min_len`-gram windows (windows merge when their intervals overlap
+    or touch), n_grams = duplicated windows merged into the span.
+    Every substring of length >= min_len occurring >= min_count times
+    lies inside exactly one span of each of its documents — the Lee et
+    al. dedup cut points.
+
+    Linear end to end: occurrences explode (narrow rows), two groupBys,
+    one equi-join, and a per-document window (bounded by doc length) —
+    no pair listing anywhere.
+    """
+    occ = lgram_occurrences(df, id_col, text_col, min_len)
+    dup = duplicated_grams(occ, id_col, min_count, cross_doc_only)
+    dup_occ = occ.join(dup, "gram_hash").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= F.lit(int(min_len)), F.lit(0)
+    ).otherwise(F.lit(1))
+    isl = dup_occ.withColumn("_brk", brk).withColumn("_isl", F.sum("_brk").over(w))
+    return (
+        isl.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(int(min_len))).alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_grams")
+    )
+
+
+def substring_dup_pairs_exact(
+    df: DataFrame, id_col: str, text_col: str, min_len: int
+) -> DataFrame:
+    """All-pairs shared-gram listing: (a, b, n_shared) = distinct
+    `min_len`-grams the two docs share, a < b.  Exact and
+    SQL-expressible (the DuckDB-checkable twin) but inherently
+    quadratic in the per-gram doc count — oracle-scale only; the scale
+    path is `substring_dup_pairs_blocked`."""
+    occ = lgram_occurrences(df, id_col, text_col, min_len).select(
+        F.col(id_col), "gram_hash"
+    ).distinct()
+    a = occ.select(F.col(id_col).alias("a"), "gram_hash")
+    b = occ.select(F.col(id_col).alias("b"), "gram_hash")
+    return (
+        a.join(b, "gram_hash")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def substring_dup_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+    cap: int = 500,
+    hard_cap: int = 100000,
+) -> tuple[DataFrame, DataFrame]:
+    """Scale path: block on shared grams through the salted/capped
+    machinery, verify candidates with an exact suffix-automaton LCS.
+
+    Returns (pairs(a, b, lcs_len), skew_metrics) with lcs_len >=
+    min_len guaranteed exact for every emitted pair.  Recall contract:
+    a true pair shares >= 1 gram, so it is a candidate unless *every*
+    shared gram's bucket exceeded hard_cap (stop grams — boilerplate
+    shared by >hard_cap docs, the substring analog of the reference's
+    blank-name NULLing; dropped buckets are counted in the metrics).
+    The LCS join ships only candidate-pair texts, not the corpus.
+    """
+    from who_owns_mass_processing_spark.operators.blocking import candidate_pairs
+
+    occ = lgram_occurrences(df, id_col, text_col, min_len).select(
+        F.col(id_col), "gram_hash"
+    ).distinct()
+    bands = occ.select(
+        F.col(id_col), F.lit(0).alias("band_id"), F.col("gram_hash").alias("band_hash")
+    )
+    cands, metrics = candidate_pairs(bands, id_col, cap=cap, hard_cap=hard_cap)
+    ta = df.select(F.col(id_col).alias("a"), F.col(text_col).alias("_ta"))
+    tb = df.select(F.col(id_col).alias("b"), F.col(text_col).alias("_tb"))
+    lcs = lcs_len_udf()
+    pairs = (
+        cands.join(ta, "a")
+        .join(tb, "b")
+        .select("a", "b", lcs(F.col("_ta"), F.col("_tb")).alias("lcs_len"))
+        .where(F.col("lcs_len") >= F.lit(int(min_len)))
+    )
+    return pairs, metrics
+
+
+def lcs_substring_py(s: str, t: str) -> int:
+    """Longest common substring length via a suffix automaton of s
+    (O(|s|+|t|)) — the per-pair verify kernel.  Pure python; used only
+    on candidate pairs inside the pandas UDF, never corpus-wide."""
+    if not s or not t:
+        return 0
+    # suffix automaton of s: transitions per state, suffix links, lengths
+    link = [-1]
+    length = [0]
+    trans: list[dict[str, int]] = [{}]
+    last = 0
+    for ch in s:
+        cur = len(length)
+        length.append(length[last] + 1)
+        link.append(0)
+        trans.append({})
+        p = last
+        while p != -1 and ch not in trans[p]:
+            trans[p][ch] = cur
+            p = link[p]
+        if p != -1:
+            q = trans[p][ch]
+            if length[p] + 1 == length[q]:
+                link[cur] = q
+            else:
+                clone = len(length)
+                length.append(length[p] + 1)
+                link.append(link[q])
+                trans.append(dict(trans[q]))
+                while p != -1 and trans[p].get(ch) == q:
+                    trans[p][ch] = clone
+                    p = link[p]
+                link[q] = clone
+                link[cur] = clone
+        last = cur
+    # walk t through the automaton
+    best = cur_len = 0
+    v = 0
+    for ch in t:
+        while v != 0 and ch not in trans[v]:
+            v = link[v]
+            cur_len = length[v]
+        if ch in trans[v]:
+            v = trans[v][ch]
+            cur_len += 1
+            if cur_len > best:
+                best = cur_len
+    return best
+
+
+def lcs_len_udf():
+    """pandas UDF: exact LCS length of two string columns (Arrow-batched;
+    per-row python is confined to verified-candidate pairs)."""
+    @F.pandas_udf("long")
+    def _lcs(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [lcs_substring_py(x or "", y or "") for x, y in zip(a, b)],
+            dtype="int64",
+        )
+
+    return _lcs
