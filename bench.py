@@ -33,6 +33,8 @@ HEADLINE = [
     "summary_metrics",
     "join_agg_topk",
     "embedding_topk",
+    "embedding_ann_lsh",
+    "substring_dup_spans",
     "lang_id",
     "quality_score",
     "windowed_event_counts",

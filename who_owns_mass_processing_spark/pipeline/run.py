@@ -225,16 +225,27 @@ def run_pipeline(
     # --- metrics + lineage ------------------------------------------------------
     def _partition_metrics() -> DataFrame:
         """Per-partition input metrics (north_rule: per-partition lineage
-        + metrics): rows + payload bytes per scan partition — builtins
-        only; decode-failure accounting lives in functions.images.
-        decode_stats_map for the audit path."""
-        return (
-            images.select(
-                F.spark_partition_id().alias("partition_id"),
+        + metrics): rows + payload bytes per input unit — builtins only;
+        decode-failure accounting lives in functions.images.
+        decode_stats_map for the audit path.
+
+        For file-backed inputs the unit is the SOURCE FILE
+        (`_metadata.file_path` — durable lineage that survives re-reads);
+        for non-file inputs it falls back to the scan partition id."""
+        try:
+            keyed = images.select(
+                F.col("_metadata.file_path").alias("src_file"),
                 F.length("bytes").alias("_sz"),
             )
-            .groupBy("partition_id")
-            .agg(F.count("*").alias("rows"), F.sum("_sz").alias("payload_bytes"))
+            key = "src_file"
+        except Exception:  # non-file source: no _metadata column
+            keyed = images.select(
+                F.spark_partition_id().cast("string").alias("src_file"),
+                F.length("bytes").alias("_sz"),
+            )
+            key = "src_file"
+        return keyed.groupBy(key).agg(
+            F.count("*").alias("rows"), F.sum("_sz").alias("payload_bytes")
         )
 
     partition_metrics = cat.read_or_compute("partition_metrics", _partition_metrics)

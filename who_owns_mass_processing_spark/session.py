@@ -57,6 +57,20 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Tungsten execution memory off-heap: on-heap task pages are 64 MB
+        # long[] allocations — G1 humongous objects — and at 32 concurrent
+        # tasks under JNI-critical load (lz4 shuffle codec, Arrow IPC) they
+        # trigger GCLocker allocation stalls (observed: "Retried waiting
+        # for GCLocker too often" task failures on the 280k-image bench).
+        # Off-heap pages are native, invisible to G1, and are the standard
+        # large-executor production setting anyway.
+        .config("spark.memory.offHeap.enabled", "true")
+        .config("spark.memory.offHeap.size", os.environ.get("SPARK_GRAFT_OFFHEAP", "8g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100 "
+            "-XX:G1HeapRegionSize=32m",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
