@@ -61,3 +61,38 @@ def test_empty_text_gets_sentinel_not_collisions():
     s_real = MH.minhash_py("hello", 3, keys)
     assert (s_empty == np.int64(MH._EMPTY_SENTINEL)).all()
     assert not (s_empty == s_real).all()
+
+
+def test_estimate_gate_preserves_verified_pairs(spark):
+    """The minhash estimate gate in verify_jaccard must not change the
+    verified pair set — survivors get the exact intersect either way, and
+    the 6.5-sigma gate bound makes a true-pair drop ~impossible."""
+    from who_owns_mass_processing_spark.config import DedupeConfig
+    from who_owns_mass_processing_spark.operators.blocking import candidate_pairs
+    from who_owns_mass_processing_spark.operators.dedupe import minhash_signatures
+    from who_owns_mass_processing_spark.operators.verify import verify_jaccard
+
+    cfg = DedupeConfig(bands=32)
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        toks = [vocab[rng.integers(0, len(vocab))] for _ in range(25)]
+        rows.append((2 * i, " ".join(toks)))
+        near = list(toks)
+        near[rng.integers(0, len(near))] = vocab[rng.integers(0, len(vocab))]
+        rows.append((2 * i + 1, " ".join(near)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(df, "doc_id", "text", cfg).localCheckpoint(eager=True)
+    bands = MH.band_explode(sigs, "minhash", "doc_id", cfg.bands, cfg.rows_per_band)
+    cands, _ = candidate_pairs(bands, "doc_id")
+    feats = sigs.select("doc_id", "codes", "minhash")
+    plain = verify_jaccard(cands, feats, "doc_id", "codes", cfg.jaccard_threshold)
+    gated = verify_jaccard(
+        cands, feats, "doc_id", "codes", cfg.jaccard_threshold,
+        minhash_col="minhash", num_perm=cfg.num_perm,
+    )
+    p = sorted(map(tuple, plain.collect()))
+    g = sorted(map(tuple, gated.collect()))
+    assert p == g
+    assert len(p) > 0

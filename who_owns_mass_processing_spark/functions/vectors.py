@@ -99,6 +99,31 @@ def bucket_tables_udf(planes: np.ndarray):
     return _udf
 
 
+def cosine_pair_udf():
+    """pandas UDF: exact cosine of two vector columns — the vectorized
+    verify kernel for the ANN scale path (one Arrow batch = two (n, dim)
+    ndarrays, row-wise einsum).  The interpreted higher-order `cosine`
+    expression costs ~3 lambda dispatches per element; on millions of
+    LSH candidates the matmul form is the difference between the verify
+    dominating the query and disappearing into it."""
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.array(list(a), dtype=np.float64)
+        mb = np.array(list(b), dtype=np.float64)
+        if len(ma) == 0:
+            return pd.Series([], dtype="float64")
+        num = np.einsum("ij,ij->i", ma, mb)
+        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+        den = na * nb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den > 0, num / den, 0.0)
+        return pd.Series(out)
+
+    return _cos
+
+
 def ann_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -149,10 +174,11 @@ def ann_lsh_pairs(
     cands, _metrics = candidate_pairs(b, id_col, cap=cap, hard_cap=hard_cap)
     fa = slim.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
     fb = slim.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    cos_udf = cosine_pair_udf()
     return (
         cands.join(fa, "a")
         .join(fb, "b")
-        .select("a", "b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"))
+        .select("a", "b", F.round(cos_udf(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
 

@@ -134,7 +134,13 @@ def rep_pairs_from_sigs(
         bands, id_col, cap=cfg.band_bucket_cap, hard_cap=cfg.stop_band_threshold(n_rows)
     )
     verified = verify_jaccard(
-        cands, rep_sigs.select(id_col, "codes"), id_col, "codes", cfg.jaccard_threshold
+        cands,
+        rep_sigs.select(id_col, "codes", "minhash"),
+        id_col,
+        "codes",
+        cfg.jaccard_threshold,
+        minhash_col="minhash",
+        num_perm=cfg.num_perm,
     )
     fp = sigs.select(F.col(id_col), "fingerprint")
     return (
