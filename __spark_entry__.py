@@ -664,6 +664,53 @@ def q_substring_dup_pairs(spark, sf_dir):
     return substring_dup_pairs_exact(d, "doc_id", "text", min_len=25)
 
 
+def q_embedding_topk_ivf(spark, sf_dir):
+    """IVF approximate top-k (k-means coarse cells + multi-probe) — the
+    alternative ANN scale path to hyperplane LSH.  No SQL oracle
+    (k-means); recall@10 >= 0.9 vs brute force is pytest-gated
+    (tests/test_ann_simhash_golden.py) and deterministic per seed."""
+    from who_owns_mass_processing_spark.functions.vectors import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(
+        e, q, "vec_id", "embedding", "query_id", "qvec", 5,
+        n_cells=16, n_probe=10, seed=CFG.minhash_seed,
+    ).select("query_id", "vec_id", "cos_sim", "rank")
+
+
+def q_cascade_lookup(spark, sf_dir):
+    """C10 cascading fill-in (dedupe_unique_addresses 6-step cascade,
+    R/deduplicaters.R:10-56,59-206): each layer fills only what earlier
+    layers left NULL — here nation layers for regions 0-1 then 2-3, with
+    a market-segment default as the last resort (different join key per
+    step, the cascade's defining property)."""
+    from who_owns_mass_processing_spark.operators.canonical import cascade_lookup
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    n = _t(spark, sf_dir, "nation")
+    lk1 = n.where(F.col("n_regionkey") <= 1).select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.concat(F.lit("PRIMARY:"), F.col("n_name")).alias("resolved"),
+    )
+    lk2 = n.where(F.col("n_regionkey").isin(2, 3)).select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.concat(F.lit("FALLBACK:"), F.col("n_name")).alias("resolved"),
+    )
+    lk3 = c.select("c_mktsegment").distinct().select(
+        "c_mktsegment",
+        F.concat(F.lit("SEG:"), F.col("c_mktsegment")).alias("resolved"),
+    )
+    out = cascade_lookup(
+        c,
+        [(lk1, ["c_nationkey"]), (lk2, ["c_nationkey"]), (lk3, ["c_mktsegment"])],
+        "resolved",
+    )
+    return out.select("c_custkey", "resolved")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_filter_project": q_scan_filter_project,
@@ -717,6 +764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vintage_pick": q_vintage_pick,
         "substring_dup_spans": q_substring_dup_spans,
         "substring_dup_pairs": q_substring_dup_pairs,
+        "cascade_lookup": q_cascade_lookup,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
     }
 
 
@@ -1246,6 +1295,23 @@ def oracle_sql() -> dict[str, str]:
             FROM docc a JOIN docc b USING (gram)
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2
+        """,
+        "cascade_lookup": """
+            SELECT c.c_custkey,
+                   coalesce(l1.v, l2.v, l3.v) AS resolved
+            FROM customer c
+            LEFT JOIN (
+              SELECT n_nationkey, 'PRIMARY:' || n_name AS v
+              FROM nation WHERE n_regionkey <= 1
+            ) l1 ON c.c_nationkey = l1.n_nationkey
+            LEFT JOIN (
+              SELECT n_nationkey, 'FALLBACK:' || n_name AS v
+              FROM nation WHERE n_regionkey IN (2, 3)
+            ) l2 ON c.c_nationkey = l2.n_nationkey
+            LEFT JOIN (
+              SELECT DISTINCT c_mktsegment, 'SEG:' || c_mktsegment AS v
+              FROM customer
+            ) l3 ON c.c_mktsegment = l3.c_mktsegment
         """,
         # simhash_pairs: intentionally no oracle (hash-seeded banding is not
         # reasonably SQL-expressible) -> driver records rows-only check;

@@ -86,3 +86,24 @@ def test_string_set_agg_deterministic(spark):
     ).repartition(3)
     out = C.string_set_agg(df, "g", "v", "vals").toPandas()
     assert out.vals.iloc[0] == "a,z"
+
+
+def test_cascade_lookup_priority_and_fill(spark):
+    """C10 cascade: earlier layers win, later layers fill, different join
+    keys per step, pre-existing values take precedence over all layers."""
+    from pyspark.sql import functions as F
+
+    from who_owns_mass_processing_spark.operators.canonical import cascade_lookup
+
+    base = spark.createDataFrame(
+        [(1, "k1", "s1", None), (2, "k2", "s1", None), (3, "k3", "s2", "KEEP")],
+        ["id", "key", "seg", "val"],
+    )
+    lk1 = spark.createDataFrame([("k1", "first")], ["key", "val"])
+    lk2 = spark.createDataFrame([("k1", "second"), ("k2", "second")], ["key", "val"])
+    lk3 = spark.createDataFrame([("s1", "seg1"), ("s2", "seg2")], ["seg", "val"])
+    out = cascade_lookup(
+        base, [(lk1, ["key"]), (lk2, ["key"]), (lk3, ["seg"])], "val"
+    )
+    got = {r.id: r.val for r in out.collect()}
+    assert got == {1: "first", 2: "second", 3: "KEEP"}

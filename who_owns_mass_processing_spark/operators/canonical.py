@@ -97,3 +97,35 @@ def vintage_pick(df: DataFrame, key_cols: list[str], vintage_col: str) -> DataFr
     others = [c for c in df.columns if c not in key_cols and c != vintage_col]
     order = [F.desc(vintage_col)] + [F.asc(c) for c in others]
     return top1_per_group(df, key_cols, order)
+
+
+def cascade_lookup(
+    df: DataFrame,
+    lookups: list[tuple[DataFrame, list[str]]],
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Cascading fill-in joins: C10 — the reference's 6-step address
+    cascade (dedupe_unique_addresses, R/deduplicaters.R:10-56,59-206)
+    resolves every row against a sequence of reference layers, each
+    filling only what the previous steps left NULL.
+
+    `lookups` is an ordered list of (lookup_df, join_keys); each
+    lookup_df must carry `value_col` plus its join keys.  Earlier
+    entries win; later entries fill remaining NULLs.  Every step is a
+    plain left equi-join (AQE broadcasts dimension-sized layers), so
+    the cascade is N sequential map-side joins at scale, never a
+    shuffle of the base table when the layers are broadcastable.
+    """
+    out_col = out_col or value_col
+    result = df
+    acc: Column | None = F.col(out_col) if out_col in df.columns else None
+    for i, (lk, keys) in enumerate(lookups):
+        step = f"_cascade_{i}"
+        renamed = lk.select(
+            *[F.col(k) for k in keys], F.col(value_col).alias(step)
+        ).dropDuplicates(keys)
+        result = result.join(renamed, keys, "left")
+        acc = F.col(step) if acc is None else F.coalesce(acc, F.col(step))
+    result = result.withColumn(out_col, acc)
+    return result.drop(*[f"_cascade_{i}" for i in range(len(lookups))])
