@@ -218,3 +218,48 @@ def phash64(pixels: np.ndarray) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return int(bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1"))
+
+
+# --------------------------------------------------------------------------
+# QVD: deterministic synthetic video container (frame-sample surface)
+# --------------------------------------------------------------------------
+# No video libraries exist in this environment, so the *codec* is a
+# deterministic fake per the multimodal contract — but the container is
+# genuinely seekable (length-prefixed frames), so the Spark-side
+# frame-sampling plumbing (schema, mapInPandas batch shape, selective
+# decode) exercises the real access pattern: sampling frame k reads ONLY
+# frame k's payload.
+
+QVD_MAGIC = b"QVD1"
+
+
+def qvd_encode(frames: list[np.ndarray], quality: int = 85) -> bytes:
+    """Concatenate QJP-encoded frames with a length-prefix index."""
+    out = [QVD_MAGIC, struct.pack(">I", len(frames))]
+    for f in frames:
+        fb = qjp_encode(f, quality)
+        out.append(struct.pack(">I", len(fb)))
+        out.append(fb)
+    return b"".join(out)
+
+
+def qvd_frame_count(data: bytes) -> int:
+    if data[:4] != QVD_MAGIC:
+        raise NotImplementedError("no video decoder for this payload")
+    return struct.unpack(">I", data[4:8])[0]
+
+
+def qvd_decode_frames(data: bytes, indices: list[int] | None = None) -> list[tuple[int, np.ndarray]]:
+    """Decode selected frames (all when indices is None).  Walks the
+    length-prefix index and decodes ONLY requested frames."""
+    n = qvd_frame_count(data)
+    want = set(range(n)) if indices is None else {i for i in indices if 0 <= i < n}
+    out = []
+    pos = 8
+    for i in range(n):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        pos += 4
+        if i in want:
+            out.append((i, qjp_decode(data[pos : pos + ln])))
+        pos += ln
+    return out

@@ -193,3 +193,80 @@ def phash_combo_bands(df, phash_col: str, id_col: str, n_bands: int = 8, radius:
         F.col("c.band_id").alias("band_id"),
         F.col("c.band_hash").alias("band_hash"),
     )
+
+
+THUMBNAIL_SCHEMA = (
+    "image_id string, w int, h int, thumb array<double>"
+)
+
+
+def thumbnail_map(size: int = 8):
+    """mapInPandas op: decode -> grayscale -> bilinear-resize to
+    size x size -> row-major array<double> (the 'resize' multimodal
+    surface).  Bytes stay inside the partition; only the fixed-width
+    thumbnail leaves — at 100 TB the shuffle carries size^2 doubles per
+    image, not payloads.  Rows that fail to decode are dropped (counted
+    by decode_stats_map on the audit path)."""
+
+    def _map(frames):
+        for pdf in frames:
+            ids, ws, hs, thumbs = [], [], [], []
+            for image_id, blob in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    px = codecs.decode_image(bytes(blob))
+                except Exception:
+                    continue
+                ids.append(image_id)
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                thumbs.append(
+                    codecs._resize_gray(px, size).astype(np.float64).ravel()
+                )
+            yield pd.DataFrame(
+                {"image_id": ids, "w": ws, "h": hs, "thumb": thumbs}
+            ).astype({"w": "int32", "h": "int32"})
+
+    return _map
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "video_id string, frame_idx int, w int, h int, frame_phash long"
+)
+
+
+def frame_sample_map(every_k: int = 2):
+    """mapInPandas op: sample every k-th frame of a QVD video column and
+    emit per-frame pHash (the 'frame-sample' + feature-extract
+    multimodal surface).  The container is length-prefix seekable, so
+    only sampled frames are decoded; frame features (8 B) leave the
+    partition, never frame pixels.  Non-video payloads raise
+    NotImplementedError per the stub contract (no real video codecs in
+    this environment; the QVD fake is deterministic)."""
+
+    def _map(frames):
+        for pdf in frames:
+            vids, idxs, ws, hs, phs = [], [], [], [], []
+            for video_id, blob in zip(pdf["video_id"], pdf["bytes"]):
+                data = bytes(blob)
+                n = codecs.qvd_frame_count(data)  # raises on non-QVD
+                take = list(range(0, n, every_k))
+                for i, px in codecs.qvd_decode_frames(data, take):
+                    vids.append(video_id)
+                    idxs.append(i)
+                    hs.append(px.shape[0])
+                    ws.append(px.shape[1])
+                    phs.append(codecs.phash64(px))  # already signed int64
+            yield pd.DataFrame(
+                {
+                    "video_id": vids,
+                    "frame_idx": idxs,
+                    "w": ws,
+                    "h": hs,
+                    "frame_phash": phs,
+                }
+            ).astype(
+                {"frame_idx": "int32", "w": "int32", "h": "int32",
+                 "frame_phash": "int64"}
+            )
+
+    return _map
