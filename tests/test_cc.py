@@ -54,3 +54,23 @@ def test_matches_union_find_on_random_graph(spark):
     rng = np.random.default_rng(3)
     edges = [(int(a), int(b)) for a, b in rng.integers(0, 60, (80, 2)) if a != b]
     assert _cc(spark, edges) == components_py(edges)
+
+
+def test_long_chain_converges_via_pointer_jump(spark):
+    """A 2000-node chain has diameter far beyond the iteration budget for
+    plain neighbor-min propagation (needs d iterations); the sync-point
+    pointer jump doubles propagation distance per batch, so it converges
+    within ~log2(d) batches."""
+    from pyspark.sql import functions as F
+
+    from who_owns_mass_processing_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    chain = spark.range(2000).select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+    with __import__("warnings").catch_warnings():
+        __import__("warnings").simplefilter("error")  # non-convergence warns -> fail
+        cc = connected_components(chain, max_iterations=50)
+        comps = cc.select("component").distinct().collect()
+    assert len(comps) == 1
+    assert comps[0][0] == 0

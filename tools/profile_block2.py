@@ -160,17 +160,13 @@ def main() -> None:
         mark("byte_reps", t0)
 
         t0 = time.time()
+        from who_owns_mass_processing_spark.operators.blocking import hamming_pairs
         img_bands = phash_combo_bands(reps_df, "phash", "image_id",
                                       cfg.phash_bands, cfg.hamming_radius)
-        img_cands, _ = candidate_pairs(img_bands, "image_id", cfg.band_bucket_cap, stop)
-        img_cands = img_cands.localCheckpoint(eager=True)
-        mark("img_cands", t0)
-
-        t0 = time.time()
-        img_ham = verify_hamming(img_cands, reps_df.select("image_id", "phash"),
-                                 "image_id", "phash", cfg.hamming_radius)
+        img_ham, _ = hamming_pairs(img_bands, "image_id", "phash",
+                                   cfg.hamming_radius, cfg.band_bucket_cap, stop)
         img_ham = img_ham.localCheckpoint(eager=True)
-        mark("img_hamming", t0)
+        mark("img_pairs_fused", t0)
 
         t0 = time.time()
         img_ok = verify_psnr(img_ham.select("a", "b"), images.select("image_id", "bytes", "fmt"),
