@@ -58,3 +58,25 @@ def test_zip_entries_feed_signatures(spark, zip_dir):
     out = entries.select("entry", meta(F.col("bytes")).alias("m")).collect()
     assert len(out) == 6
     assert all(r.m.w > 0 and r.m.h > 0 for r in out)
+
+
+def test_pyfiles_zip_importable(tmp_path):
+    """dist zip for spark-submit --py-files: package imports from the
+    archive alone (the executor-side contract)."""
+    import subprocess
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from make_pyfiles import build
+
+    out = build(str(tmp_path / "pkg.zip"))
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import who_owns_mass_processing_spark.config as c; "
+        "print(c.DedupeConfig().fingerprint())" % out
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=60
+    )
+    assert r.returncode == 0, r.stderr
+    assert len(r.stdout.strip()) == 16
