@@ -681,6 +681,57 @@ def q_embedding_topk_ivf(spark, sf_dir):
     ).select("query_id", "vec_id", "cos_sim", "rank")
 
 
+_STD_VARIETIES = [
+    "123 n main st",
+    "45 se oak ave, apt 2",
+    "Acme Props, L L C",
+    "none",
+    "9 blvd of hope",
+    "GT hill rd trs",
+    "Pkwy & 5th Ctr, corp.",
+]
+
+
+def q_standardize_name(spark, sf_dir):
+    """Composed standardization chain (reference std pipeline: upper ->
+    punctuation strip -> whitespace collapse -> ordered direction/street/
+    institution crosswalk ladders -> blank NULLing).  The oracle SQL is
+    GENERATED from the same rule lists, so the two sides cannot drift."""
+    from who_owns_mass_processing_spark.functions.standardize import standardize_name
+
+    c = _t(spark, sf_dir, "customer")
+    raw = F.element_at(
+        F.array(*[F.lit(v) for v in _STD_VARIETIES]),
+        (F.pmod(F.col("c_custkey"), F.lit(len(_STD_VARIETIES))) + 1).cast("int"),
+    )
+    return c.select("c_custkey", standardize_name(raw).alias("name_std"))
+
+
+def _standardize_name_sql() -> str:
+    from who_owns_mass_processing_spark.functions.standardize import (
+        _BLANKS_RE,
+        DIRECTIONS,
+        INST_TYPES,
+        STREET_TYPES,
+    )
+
+    arr = ", ".join("'%s'" % v.replace("'", "''") for v in _STD_VARIETIES)
+    e = (
+        f"upper(list_extract([{arr}], "
+        f"CAST(c_custkey % {len(_STD_VARIETIES)} AS INT) + 1))"
+    )
+    e = f"regexp_replace({e}, '[^A-Z0-9 ]', ' ', 'g')"
+    e = f"regexp_replace({e}, ' +', ' ', 'g')"
+    e = f"trim({e})"
+    for rules in (DIRECTIONS, STREET_TYPES, INST_TYPES):
+        for pat, rep in rules:
+            e = f"regexp_replace({e}, '{pat}', '{rep}', 'g')"
+    return (
+        "SELECT c_custkey, CASE WHEN regexp_matches(upper(trim(%s)), '%s') "
+        "THEN NULL ELSE %s END AS name_std FROM customer" % (e, _BLANKS_RE, e)
+    )
+
+
 def q_cascade_lookup(spark, sf_dir):
     """C10 cascading fill-in (dedupe_unique_addresses 6-step cascade,
     R/deduplicaters.R:10-56,59-206): each layer fills only what earlier
@@ -766,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_pairs": q_substring_dup_pairs,
         "cascade_lookup": q_cascade_lookup,
         "embedding_topk_ivf": q_embedding_topk_ivf,
+        "standardize_name": q_standardize_name,
     }
 
 
@@ -1296,6 +1348,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2
         """,
+        "standardize_name": _standardize_name_sql(),
         "cascade_lookup": """
             SELECT c.c_custkey,
                    coalesce(l1.v, l2.v, l3.v) AS resolved

@@ -121,3 +121,27 @@ def test_blank_to_null_and_spacing(spark):
         lambda c: S.apply_rule_ladder(c, SPACING_CHARS),
     )
     assert out2 == ["A AND B CO", "X Y Z"]
+
+
+def test_standardize_name_composed_chain(spark):
+    from pyspark.sql import functions as F
+
+    from who_owns_mass_processing_spark.functions.standardize import standardize_name
+
+    rows = [
+        (1, "123 n main st"),
+        (2, "Acme Props, L L C"),
+        (3, "none"),
+        (4, "  GT hill rd  trs "),
+        (5, "---"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "raw"])
+    got = {
+        r.id: r.std
+        for r in df.select("id", standardize_name(F.col("raw")).alias("std")).collect()
+    }
+    assert got[1] == "123 NORTH MAIN STREET"
+    assert got[2] == "ACME PROPERTIES LLC"
+    assert got[3] is None          # placeholder blank
+    assert got[4] == "GREAT HILL ROAD TRUSTEES"
+    assert got[5] is None          # dash-only

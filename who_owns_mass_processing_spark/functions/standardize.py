@@ -232,3 +232,20 @@ def fuzzify_key(col: Column) -> Column:
     )
     key = F.concat(F.substring(col, 1, 1), inner_sorted, F.substring(col, -1, 1))
     return F.when(col.isNull() | (n < 2), None).otherwise(key)
+
+
+def standardize_name(col: Column) -> Column:
+    """The composed name-standardization chain (reference std_name /
+    std_address pipeline shape, R/standardizers.R:19-45 + rule sets):
+    uppercase -> strip punctuation -> collapse whitespace -> ordered
+    crosswalk ladders (directions, street types, institution types) ->
+    blank NULLing.  Pure codegen'd expressions, zero shuffles — this is
+    the pass that runs on every name/caption before blocking, so it must
+    cost one projection."""
+    out = F.upper(col)
+    out = F.regexp_replace(out, r"[^A-Z0-9 ]", " ")
+    out = F.regexp_replace(out, r" +", " ")
+    out = F.trim(out)
+    for rules in (DIRECTIONS, STREET_TYPES, INST_TYPES):
+        out = apply_rule_ladder(out, rules)
+    return blank_to_null(out)
