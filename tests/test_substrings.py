@@ -129,3 +129,56 @@ def test_spans_partition_invariant(spark, docs_df):
         docs_df.repartition(7), "doc_id", "text", L
     ).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, rep))
+
+
+def test_lcs_kernel_property_vs_bruteforce():
+    """Property: suffix-automaton LCS == brute-force LCS on random
+    small-alphabet strings (the adversarial case for substring logic)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def brute_lcs(s, t):
+        best = 0
+        for i in range(len(s)):
+            for j in range(len(t)):
+                k = 0
+                while i + k < len(s) and j + k < len(t) and s[i + k] == t[j + k]:
+                    k += 1
+                best = max(best, k)
+        return best
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(alphabet="ab", max_size=30),
+        st.text(alphabet="ab", max_size=30),
+    )
+    def check(s, t):
+        assert lcs_substring_py(s, t) == brute_lcs(s, t)
+
+    check()
+
+
+def test_span_mirror_property(spark):
+    """Property: Spark spans == pure-python mirror on random small-vocab
+    corpora (within-doc repeats, cross-doc shares, short docs)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="xy ", min_size=0, max_size=40),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def check(texts):
+        docs = list(enumerate(texts))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r.doc_id, r.span_start): (r.span_end, r.n_grams)
+            for r in substring_dup_spans(df, "doc_id", "text", 5).collect()
+        }
+        assert got == _mirror_spans(docs, 5)
+
+    check()
