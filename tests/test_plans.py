@@ -53,3 +53,21 @@ def test_events_agg_partial_aggregation(spark):
     # partial (map-side) + final hash aggregation: two HashAggregate nodes
     df = E.q_group_counts(spark, SF_DIR)
     assert _plan(df).count("HashAggregate") >= 2
+
+
+def test_substring_span_plan_is_join_free_of_nested_loops(spark):
+    """The substring span pipeline must stay explode -> groupBy ->
+    equi-join -> window: no cartesian/nested-loop anywhere, and the text
+    column must not survive past the gram projection (payload never
+    shuffles)."""
+    df = E.q_substring_dup_spans(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_topk_broadcasts_query_side(spark):
+    df = E.q_embedding_topk_ivf(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
