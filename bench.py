@@ -94,7 +94,10 @@ def main() -> None:
     # session costs; per-query figures should measure the queries) —
     # a small pandas-UDF query plus a join/agg query cover both paths
     materialize(qs["fingerprint"](spark, sf_dir))
-    materialize(qs["minhash_lsh_pairs"](spark, "/root/testdata/sf0.001"))
+    # join/agg warm-up prefers the smallest sibling sf dir (cheapest), but
+    # must not assume any fixture beyond sf_dir itself exists on this host
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    materialize(qs["minhash_lsh_pairs"](spark, warm_dir if os.path.isdir(warm_dir) else sf_dir))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()

@@ -122,9 +122,12 @@ def cascade_lookup(
     acc: Column | None = F.col(out_col) if out_col in df.columns else None
     for i, (lk, keys) in enumerate(lookups):
         step = f"_cascade_{i}"
-        renamed = lk.select(
-            *[F.col(k) for k in keys], F.col(value_col).alias(step)
-        ).dropDuplicates(keys)
+        # deterministic per-key reduction: a layer holding conflicting
+        # values for one key resolves to min(value) on every run (a
+        # dropDuplicates here would keep an arbitrary partition's row)
+        renamed = lk.groupBy(*[F.col(k) for k in keys]).agg(
+            F.min(value_col).alias(step)
+        )
         result = result.join(renamed, keys, "left")
         acc = F.col(step) if acc is None else F.coalesce(acc, F.col(step))
     result = result.withColumn(out_col, acc)

@@ -18,9 +18,17 @@ L-gram windows is exactly the region a suffix array would report for
 threshold L.  The reduction is Spark-shaped: grams are fixed-width
 int64 keys (xxhash64), so the whole operator is explode -> groupBy ->
 join -> per-doc window, all JVM-side, no Python in the corpus-wide
-path.  (Collision note: two distinct grams sharing an xxhash64 value
-could mark a false duplicate; at 10^12 rows x ~10^3 grams the expected
-collision count over a 2^64 keyspace is ~10^-4 corpus-wide.)
+path.  (Collision note: two distinct grams sharing a gram key could
+mark a false duplicate, and the span path has no exact-text verify, so
+the key must be wide enough for the documented 10^12-doc x ~10^3-gram
+target.  A single xxhash64 is NOT: at G = 10^15 distinct grams the
+birthday bound gives ~G^2/2^65 ~ 2.7x10^10 expected collisions — the
+64-bit keyspace is crossed at ~6x10^9 distinct grams.  The gram key is
+therefore 128 bits: a struct of two independently-salted xxhash64
+values, giving ~G^2/2^129 ~ 1.5x10^-9 expected collisions corpus-wide
+at the same G.  The blocked pair path additionally verifies every
+candidate with an exact LCS, so collisions there only cost work, never
+correctness.)
 
 Pair listing is where the quadratic trap lives (a gram shared by n docs
 implies C(n,2) pairs), so the scale path routes shared-gram buckets
@@ -47,12 +55,16 @@ def lgram_occurrences(
 ) -> DataFrame:
     """(id, pos, gram_hash) for every length-`min_len` window.
 
-    pos is the 0-based character offset; gram_hash = xxhash64 of the
-    window text.  Docs shorter than min_len emit nothing.  The gram
-    array is built by a codegen'd `transform` over the text column and
-    posexploded, so the text itself is never duplicated per position
-    and never shuffles — only (id, int, int64) rows leave the scan
-    stage.
+    pos is the 0-based character offset; gram_hash = 128-bit key of the
+    window text as struct<h1,h2> of two independently-salted xxhash64
+    values (see module collision note — 64 bits is insufficient at the
+    10^12-doc target because the span path has no exact-text verify).
+    Docs shorter than min_len emit nothing.  The gram array is built by
+    a codegen'd `transform` over the text column and posexploded, so
+    the text itself is never duplicated per position and never shuffles
+    — only (id, int, struct<int64,int64>) rows leave the scan stage.
+    (Each window substring is evaluated twice, once per salt — pure CPU
+    inside codegen, no extra materialization.)
     """
     L = int(min_len)
     txt = F.col(text_col)
@@ -61,9 +73,12 @@ def lgram_occurrences(
         last >= 0,
         F.transform(
             F.sequence(F.lit(0), last),
-            lambda p: F.xxhash64(txt.substr(p + F.lit(1), F.lit(L))),
+            lambda p: F.struct(
+                F.xxhash64(txt.substr(p + F.lit(1), F.lit(L))).alias("h1"),
+                F.xxhash64(F.lit(1), txt.substr(p + F.lit(1), F.lit(L))).alias("h2"),
+            ),
         ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    ).otherwise(F.array().cast("array<struct<h1:bigint,h2:bigint>>"))
     return df.select(
         F.col(id_col), F.posexplode(grams).alias("pos", "gram_hash")
     ).select(F.col(id_col), F.col("pos").cast("long").alias("pos"), "gram_hash")
@@ -177,8 +192,13 @@ def substring_dup_pairs_blocked(
     occ = lgram_occurrences(df, id_col, text_col, min_len).select(
         F.col(id_col), "gram_hash"
     ).distinct()
+    # banding key folds the 128-bit gram struct back to one int64: the
+    # blocked path is LCS-verified, so a band collision costs one wasted
+    # candidate check, never a false pair
     bands = occ.select(
-        F.col(id_col), F.lit(0).alias("band_id"), F.col("gram_hash").alias("band_hash")
+        F.col(id_col),
+        F.lit(0).alias("band_id"),
+        F.xxhash64(F.col("gram_hash.h1"), F.col("gram_hash.h2")).alias("band_hash"),
     )
     cands, metrics = candidate_pairs(bands, id_col, cap=cap, hard_cap=hard_cap)
     ta = df.select(F.col(id_col).alias("a"), F.col(text_col).alias("_ta"))

@@ -35,6 +35,20 @@ def _has_iceberg() -> bool:
         return False
 
 
+_GC_JVM_OPTS = (
+    "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100 "
+    "-XX:G1HeapRegionSize=32m"
+)
+
+
+def _jvm_options(env_var: str) -> str:
+    """GC flags + optional caller extras from `env_var` (caller extras come
+    last so they win on a duplicated -XX flag).  The GCLocker/region-size
+    flags assume G1 (the JDK-17 default collector)."""
+    extra = os.environ.get(env_var, "").strip()
+    return f"{_GC_JVM_OPTS} {extra}".strip()
+
+
 def get_spark(
     app_name: str = "who-owns-mass-spark",
     cores: int | None = None,
@@ -66,11 +80,12 @@ def get_spark(
         # large-executor production setting anyway.
         .config("spark.memory.offHeap.enabled", "true")
         .config("spark.memory.offHeap.size", os.environ.get("SPARK_GRAFT_OFFHEAP", "8g"))
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100 "
-            "-XX:G1HeapRegionSize=32m",
-        )
+        # GCLocker/G1 flags APPEND to any caller-supplied options (env wins
+        # on conflict since it comes last) and are mirrored into the
+        # executor options: in local mode the driver JVM runs the tasks,
+        # but on a real cluster the GCLocker stalls happen in executors.
+        .config("spark.driver.extraJavaOptions", _jvm_options("SPARK_GRAFT_DRIVER_JAVA_OPTS"))
+        .config("spark.executor.extraJavaOptions", _jvm_options("SPARK_GRAFT_EXECUTOR_JAVA_OPTS"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
