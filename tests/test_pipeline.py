@@ -82,6 +82,77 @@ def test_resume_after_stage_kill(spark, pipeline_out):
     assert a1.equals(a2)
 
 
+def test_full_resume_runs_zero_jobs(spark, pipeline_out):
+    """A fully-resumed run must not launch a single Spark job: row
+    counts come from the stage manifest, tables are opened lazily (the
+    round-2 defect was one unconditional ingest count per resume)."""
+    out, workdir, synth = pipeline_out
+    images = spark.read.parquet(synth["images"])
+    sc = spark.sparkContext
+    sc.setJobGroup("resume_zero_jobs", "full-resume job audit")
+    try:
+        run_pipeline(spark, images, workdir, DedupeConfig())
+        jobs = sc.statusTracker().getJobIdsForGroup("resume_zero_jobs")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert len(jobs) == 0, f"resume launched {len(jobs)} jobs"
+
+
+def test_refresh_recomputes_mutated_input(spark, tmp_path):
+    """--refresh contract (dead-flag fix): same workdir, input data
+    mutated underneath.  Without refresh the run must resume (stale by
+    design — the fingerprint covers config, not data); with refresh
+    every stage recomputes and the output reflects the new input, and
+    downstream stages are not served from stale checkpoints."""
+    from who_owns_mass_processing_spark.synth import write_images_parquet
+
+    d1 = str(tmp_path / "in1")
+    d2 = str(tmp_path / "in2")
+    workdir = str(tmp_path / "stages")
+    ip1, _, _ = write_images_parquet(d1, n_base=40, seed=3)
+    ip2, _, _ = write_images_parquet(d2, n_base=55, seed=4)
+
+    out1 = run_pipeline(spark, spark.read.parquet(ip1), workdir, DedupeConfig())
+    n1 = out1["assignments"].count()
+
+    # input "mutates": the same logical source now holds different data
+    out_stale = run_pipeline(spark, spark.read.parquet(ip2), workdir, DedupeConfig())
+    assert out_stale["assignments"].count() == n1  # resumed, documented hazard
+
+    out2 = run_pipeline(
+        spark, spark.read.parquet(ip2), workdir, DedupeConfig(), refresh=True
+    )
+    n2 = out2["assignments"].count()
+    assert n2 != n1
+    assert sorted(
+        r.image_id for r in out2["assignments"].select("image_id").collect()
+    ) == sorted(r.image_id for r in spark.read.parquet(ip2).select("image_id").collect())
+
+
+def test_upstream_recompute_cascades_downstream(spark, tmp_path):
+    """Stale-downstream hazard: if an upstream stage recomputes (here:
+    its manifest entry is missing) while downstream entries are green,
+    downstream must recompute too — its cached data was derived from
+    different input."""
+    from who_owns_mass_processing_spark.synth import write_images_parquet
+
+    d1 = str(tmp_path / "in1")
+    d2 = str(tmp_path / "in2")
+    workdir = str(tmp_path / "stages")
+    ip1, _, _ = write_images_parquet(d1, n_base=40, seed=5)
+    ip2, _, _ = write_images_parquet(d2, n_base=55, seed=6)
+    cfg = DedupeConfig()
+    run_pipeline(spark, spark.read.parquet(ip1), workdir, cfg)
+
+    # simulate: only the ROOT stage is invalidated, downstream all green
+    cat = StageCatalog(spark, workdir, cfg.fingerprint())
+    cat.invalidate("ingest")
+    out = run_pipeline(spark, spark.read.parquet(ip2), workdir, cfg)
+    got = sorted(r.image_id for r in out["assignments"].select("image_id").collect())
+    want = sorted(r.image_id for r in spark.read.parquet(ip2).select("image_id").collect())
+    assert got == want  # downstream did NOT serve the stale 40-base clusters
+
+
 def test_config_change_invalidates_checkpoints(spark, pipeline_out):
     out, workdir, synth = pipeline_out
     cat = StageCatalog(spark, workdir, DedupeConfig(jaccard_threshold=0.9).fingerprint())

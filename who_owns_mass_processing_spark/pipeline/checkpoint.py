@@ -36,6 +36,11 @@ class StageCatalog:
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "_MANIFEST.json")
         self._manifest = self._load_manifest()
+        # stages (re)computed by THIS process — downstream stages consult
+        # this to invalidate themselves when an upstream recomputed (the
+        # fingerprint covers config, not input data, so a refreshed
+        # upstream must cascade; see read_or_compute(upstream=...))
+        self.computed_this_run: set[str] = set()
 
     def _load_manifest(self) -> dict:
         if os.path.exists(self._manifest_path):
@@ -57,6 +62,15 @@ class StageCatalog:
         return bool(entry and entry.get("fingerprint") == self.fingerprint)
 
     def read(self, stage: str) -> DataFrame:
+        """Resume read.  The schema recorded at write time is passed to
+        the reader, so a resumed stage opens with ZERO Spark jobs (no
+        footer-read schema-inference job per stage)."""
+        entry = self._manifest["stages"].get(stage)
+        if entry and entry.get("schema_json"):
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(entry["schema_json"]))
+            return self.spark.read.schema(schema).parquet(self._stage_path(stage))
         return self.spark.read.parquet(self._stage_path(stage))
 
     def write(self, stage: str, df: DataFrame, partition_by: list[str] | None = None) -> DataFrame:
@@ -69,6 +83,7 @@ class StageCatalog:
         backend via rename)."""
         import shutil
 
+        self.computed_this_run.add(stage)
         path = self._stage_path(stage)
         tmp = f"{path}.tmp-{self._manifest['snapshot_seq'] + 1}"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -88,6 +103,9 @@ class StageCatalog:
             "snapshot_id": self._manifest["snapshot_seq"],
             "rows": out.count(),
             "schema": out.schema.simpleString(),
+            # full schema for job-free resume reads (simpleString is for
+            # the human-facing lineage table; it is not round-trippable)
+            "schema_json": json.dumps(out.schema.jsonValue()),
             "path": path,
         }
         self._save_manifest()
@@ -112,16 +130,31 @@ class StageCatalog:
             return out
         return self.write(stage, df)
 
+    def rows(self, stage: str) -> int:
+        """Row count from the stage manifest — zero Spark jobs.  Every
+        write() records the count, so any completed stage answers from
+        metadata; a full resume therefore never re-counts inputs."""
+        return int(self._manifest["stages"][stage]["rows"])
+
     def read_or_compute(
         self,
         stage: str,
         compute: Callable[[], DataFrame],
         partition_by: list[str] | None = None,
         refresh: bool = False,
+        upstream: tuple[str, ...] = (),
     ) -> DataFrame:
-        """The reference's load_read_write semantics (R/loaders.R:373-438)."""
-        if not refresh and self.is_complete(stage):
+        """The reference's load_read_write semantics (R/loaders.R:373-438).
+
+        `upstream` lists the stage names this stage consumes: if any of
+        them was recomputed in this run, the cached copy of THIS stage
+        is stale (it was derived from different input data) and is
+        recomputed too — the stale-downstream hazard the config
+        fingerprint cannot catch."""
+        force = refresh or any(u in self.computed_this_run for u in upstream)
+        if not force and self.is_complete(stage):
             return self.read(stage)
+        self.computed_this_run.add(stage)
         return self.write(stage, compute(), partition_by)
 
     def invalidate(self, stage: str) -> None:
@@ -132,7 +165,7 @@ class StageCatalog:
         """Stage lineage rows (stage, snapshot_id, rows, schema) — written
         to the `lineage` output table by the pipeline."""
         return [
-            {"stage": s, **{k: v for k, v in e.items() if k != "path"}}
+            {"stage": s, **{k: v for k, v in e.items() if k not in ("path", "schema_json")}}
             for s, e in sorted(
                 self._manifest["stages"].items(), key=lambda kv: kv[1]["snapshot_id"]
             )

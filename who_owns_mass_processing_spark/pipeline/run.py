@@ -48,6 +48,15 @@ def run_pipeline(
     cfg = cfg or DedupeConfig()
     cat = StageCatalog(spark, workdir, cfg.fingerprint())
 
+    # `refresh` forces the root stages; every downstream stage declares
+    # its upstream stages so a recompute CASCADES (a cached downstream
+    # table derived from now-stale input must not be reused — the config
+    # fingerprint cannot see input-data changes)
+    def roc(stage, fn, upstream=(), partition_by=None):
+        return cat.read_or_compute(
+            stage, fn, partition_by=partition_by, refresh=refresh, upstream=upstream
+        )
+
     # --- ingest: strip payload immediately; byte fingerprint for the
     # exact-image tier rides along (32 B vs 100 KB payload) -----------------
     def _ingest() -> DataFrame:
@@ -56,16 +65,18 @@ def run_pipeline(
             F.sha2(F.col("bytes"), 256).alias("byte_fp"),
         )
 
-    ingested = cat.read_or_compute("ingest", _ingest)
+    ingested = roc("ingest", _ingest)
 
     # --- signatures ---------------------------------------------------------
     def _signatures() -> DataFrame:
         sigs = minhash_signatures(ingested, "image_id", "caption", cfg)
         return sigs.join(ingested.select("image_id", "phash", "fmt"), "image_id")
 
-    sigs = cat.read_or_compute("signatures", _signatures)
+    sigs = roc("signatures", _signatures, upstream=("ingest",))
 
-    n_rows = ingested.count()
+    # row count from the stage manifest: a resumed run spends ZERO jobs
+    # re-counting (write() recorded it)
+    n_rows = cat.rows("ingest")
     stop_cap = cfg.stop_band_threshold(n_rows)
 
     # --- caption tier ---------------------------------------------------------
@@ -89,7 +100,7 @@ def run_pipeline(
             .withColumn("tier", F.lit("caption"))
         )
 
-    caption_pairs = cat.read_or_compute("caption_pairs", _caption_pairs)
+    caption_pairs = roc("caption_pairs", _caption_pairs, upstream=("signatures", "ingest"))
 
     # --- image tier -----------------------------------------------------------
     # Byte-identical images (exact web dups, the dominant dup class) are
@@ -107,7 +118,7 @@ def run_pipeline(
             .withColumn("tier", F.lit("image_exact"))
         )
 
-    image_exact_edges = cat.read_or_compute("image_exact_edges", _image_exact_edges)
+    image_exact_edges = roc("image_exact_edges", _image_exact_edges, upstream=("ingest",))
 
     def _image_pairs() -> DataFrame:
         from who_owns_mass_processing_spark.functions.images import phash_combo_bands
@@ -145,7 +156,7 @@ def run_pipeline(
             .withColumn("tier", F.lit("image"))
         )
 
-    image_pairs = cat.read_or_compute("image_pairs", _image_pairs)
+    image_pairs = roc("image_pairs", _image_pairs, upstream=("ingest",))
 
     # --- edges + clustering ---------------------------------------------------
     def _edges() -> DataFrame:
@@ -155,7 +166,9 @@ def run_pipeline(
             .unionByName(image_exact_edges.select("a", "b", "tier"))
         )
 
-    edges = cat.read_or_compute("edges", _edges)
+    edges = roc(
+        "edges", _edges, upstream=("caption_pairs", "image_pairs", "image_exact_edges")
+    )
 
     def _assignments() -> DataFrame:
         cc = connected_components(
@@ -167,7 +180,7 @@ def run_pipeline(
             "node", "image_id"
         ).withColumnRenamed("component", "cluster_id")
 
-    assignments = cat.read_or_compute("assignments", _assignments)
+    assignments = roc("assignments", _assignments, upstream=("edges", "ingest"))
 
     def _clusters() -> DataFrame:
         return cluster_exemplars(
@@ -179,7 +192,7 @@ def run_pipeline(
             "caption",
         )
 
-    clusters = cat.read_or_compute("clusters", _clusters)
+    clusters = roc("clusters", _clusters, upstream=("assignments", "ingest"))
 
     # --- optional C7 second network round --------------------------------------
     # Reference analog: community detection over GROUP ids rather than row
@@ -220,7 +233,11 @@ def run_pipeline(
             rows = cap_cc.join(img_cc, "image_id")
             return network_round(rows, ["caption_cluster", "image_cluster"])
 
-        networks = cat.read_or_compute("networks", _networks)
+        networks = roc(
+            "networks",
+            _networks,
+            upstream=("caption_pairs", "image_pairs", "image_exact_edges", "ingest"),
+        )
 
     # --- metrics + lineage ------------------------------------------------------
     def _partition_metrics() -> DataFrame:
@@ -248,18 +265,25 @@ def run_pipeline(
             F.count("*").alias("rows"), F.sum("_sz").alias("payload_bytes")
         )
 
-    partition_metrics = cat.read_or_compute("partition_metrics", _partition_metrics)
+    # stage name is VERSIONED: the output schema changed in round 2
+    # (partition_id int -> src_file string); an unversioned name would
+    # silently resume the old-schema checkpoint on a pre-existing
+    # workdir.  Convention: bump the suffix whenever a stage's schema
+    # changes without a config change.
+    partition_metrics = roc("partition_metrics_v2", _partition_metrics)
 
     def _metrics() -> DataFrame:
+        # counts come from the stage manifests (recorded at write time)
+        # — zero extra jobs whether resumed or fresh
         rows = [
-            ("caption_pairs", caption_pairs.count()),
-            ("image_pairs", image_pairs.count()),
-            ("edges", edges.count()),
-            ("clusters", clusters.count()),
+            (s, cat.rows(s))
+            for s in ("caption_pairs", "image_pairs", "edges", "clusters")
         ]
         return spark.createDataFrame(rows, "stage string, rows long")
 
-    metrics = cat.read_or_compute("metrics", _metrics)
+    metrics = roc(
+        "metrics", _metrics, upstream=("caption_pairs", "image_pairs", "edges", "clusters")
+    )
     lineage = spark.createDataFrame(cat.lineage())
 
     out = {
