@@ -598,7 +598,7 @@ def q_entity_dedup(spark, sf_dir):
         (F.pmod(F.col("doc_id"), 2) == 0).alias("inst"),
         F.col("lang").alias("bound"),
     )
-    assignments, _clusters = dedupe_entities(
+    assignments, _clusters, _skew = dedupe_entities(
         d, "doc_id", "name", "inst", "bound",
         cfg=CFG, tau_inst=0.70, tau_indiv=0.90, lsh_min_recall=1 - 1e-9,
     )

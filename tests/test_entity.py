@@ -11,7 +11,7 @@ CFG = DedupeConfig(stop_band_min=1000)  # tiny fixtures: no stop-band drops
 
 def _run(spark, rows, **kw):
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "name", "inst", "addr_id"]))
-    assigns, clusters = dedupe_entities(df, "id", "name", "inst", "addr_id", CFG, **kw)
+    assigns, clusters, _skew = dedupe_entities(df, "id", "name", "inst", "addr_id", CFG, **kw)
     a = assigns.toPandas()
     return dict(zip(a.id, a.cluster_id)), clusters.toPandas()
 
@@ -85,7 +85,7 @@ def test_canonical_name_is_group_mode(spark):
 def test_owners_fixture_end_to_end(spark):
     owners = generate_owners(n=200, seed=7)
     df = spark.createDataFrame(owners)
-    assigns, clusters = dedupe_entities(df, "id", "name", "inst", "addr_id", CFG, tau_inst=0.75)
+    assigns, clusters, skew = dedupe_entities(df, "id", "name", "inst", "addr_id", CFG, tau_inst=0.75)
     a = assigns.toPandas()
     assert len(a) == 200 and a.id.is_unique
     # exact-duplicate institutional names must share a cluster
@@ -96,6 +96,13 @@ def test_owners_fixture_end_to_end(spark):
     # cluster table consistency
     c = clusters.toPandas()
     assert c["size"].sum() == 200
+    # skew metrics surfaced (VERDICT r2 #3): the band-skew audit table is
+    # returned, has the stop-band accounting columns, and on this fixture
+    # (stop_band_min=1000) reports zero recall-relevant drops
+    s = skew.toPandas()
+    assert {"bucket_class", "buckets", "rows", "max_bucket"} <= set(s.columns)
+    dropped = s[s.bucket_class == "dropped_stop_band"]
+    assert dropped["rows"].fillna(0).sum() == 0
 
 
 def test_flags_derived_from_raw_names(spark):
@@ -121,7 +128,7 @@ def test_flags_derived_from_raw_names(spark):
     df = spark.createDataFrame(rows).withColumn(
         "inst", flag_matches(F.col("name"), ["LLC", "LC", "INC", "TRUST"])
     )
-    assigns, _ = dedupe_entities(df, "id", "name", "inst", "addr_id", CFG)
+    assigns, _, _ = dedupe_entities(df, "id", "name", "inst", "addr_id", CFG)
     m = dict(zip(*(lambda p: (p.id, p.cluster_id))(assigns.toPandas())))
     assert m[1] == m[2]        # institutional tier via derived flags
     assert m[3] == m[4]        # bounded individuals

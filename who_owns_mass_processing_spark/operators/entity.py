@@ -42,9 +42,16 @@ def dedupe_entities(
     tau_inst: float = 0.70,
     tau_indiv: float = 0.90,
     lsh_min_recall: float = 0.95,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Returns (assignments(id, cluster_id), clusters(cluster_id, size,
-    canonical_name)).
+    canonical_name), skew_metrics).
+
+    skew_metrics is the blocking layer's band-skew table (bucket-size
+    classes + stop-band drop counts).  Stop-band drops are
+    RECALL-RELEVANT events — a dropped mega-bucket means pairs sharing
+    only that band were never candidates — so callers must be able to
+    audit them (the images pipeline checkpoints the same table,
+    pipeline/run.py: caption_band_skew).
 
     tau_indiv must be >= tau_inst (strict tier for unbounded individuals
     is the whole point — reference config.R:28-29).
@@ -111,5 +118,4 @@ def dedupe_entities(
         .agg(F.count("*").alias("size"))
         .join(group_mode(named, "cluster_id", "_name", "canonical_name"), "cluster_id")
     )
-    _ = skew
-    return assignments, clusters
+    return assignments, clusters, skew
