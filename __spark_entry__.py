@@ -347,6 +347,42 @@ def q_dedup_cc_assignments(spark, sf_dir):
     )
 
 
+def q_cluster_diagnostics(spark, sf_dir):
+    """Per-cluster over-merge audit rollup (reference's over-inclusion
+    diagnostics, R/summarizers.R:57-92, README.md:117 "for diagnosing
+    cases of over-inclusion"; fields DICTIONARY.md:88-118): per dedup
+    cluster — size, distinct-source count, verified-edge count, the
+    WEAKEST intra-cluster similarity (transitive chains merge through
+    their weakest link), and edge density (chain vs clique)."""
+    from who_owns_mass_processing_spark.operators.diagnostics import (
+        cluster_diagnostics,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs, _ = D.lsh_near_dup_pairs(d, "doc_id", "text", CFG)
+    cc = connected_components(pairs.select("a", "b"))
+    assigns = C.with_singletons(d.select("doc_id"), "doc_id", cc).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    diag = cluster_diagnostics(
+        assigns,
+        d.select("doc_id", "source"),
+        pairs.select("a", "b", F.col("jaccard").alias("sim")),
+        id_col="doc_id",
+        distinct_counts={"n_sources": "source"},
+        sim_col="sim",
+        sim_out="min_jaccard",
+    )
+    return diag.select(
+        "cluster_id",
+        "size",
+        "n_sources",
+        "n_edges",
+        F.round("min_jaccard", 6).alias("min_jaccard"),
+        "edge_density",
+    )
+
+
 def q_explode_tokens(spark, sf_dir):
     """Row-split with per-origin numbering (std_separate_and_label /
     std_multiname analog, R/standardizers.R:1788-1877): one doc -> N
@@ -797,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "dedup_cc_assignments": q_dedup_cc_assignments,
+        "cluster_diagnostics": q_cluster_diagnostics,
         "json_extract": q_json_extract,
         "numeric_heuristics": q_numeric_heuristics,
         "explode_tokens": q_explode_tokens,
@@ -1077,6 +1114,37 @@ def oracle_sql() -> dict[str, str]:
               WHERE w.label < e.dst
             )
             SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+        """,
+        "cluster_diagnostics": f"""
+            WITH RECURSIVE pairs AS ({_jaccard_pairs_sql(0.80)}),
+            edges AS (
+              SELECT a AS src, b AS dst FROM pairs
+              UNION ALL SELECT b, a FROM pairs
+            ),
+            walk(node, label) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+              WHERE w.label < e.dst
+            ),
+            cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node),
+            sz AS (
+              SELECT cluster_id, count(*) AS size,
+                     count(DISTINCT d.source) AS n_sources
+              FROM cc JOIN documents d USING (doc_id) GROUP BY cluster_id
+            ),
+            pe AS (
+              SELECT cc.cluster_id, count(*) AS n_edges,
+                     round(min(p.jaccard), 6) AS min_jaccard
+              FROM pairs p JOIN cc ON cc.doc_id = p.a GROUP BY cc.cluster_id
+            )
+            SELECT sz.cluster_id, sz.size, sz.n_sources,
+                   coalesce(pe.n_edges, 0) AS n_edges, pe.min_jaccard,
+                   CASE WHEN sz.size > 1 THEN
+                     round(coalesce(pe.n_edges, 0)::DOUBLE
+                           / (sz.size * (sz.size - 1) / 2.0), 6)
+                   END AS edge_density
+            FROM sz LEFT JOIN pe USING (cluster_id)
         """,
         "json_extract": """
             SELECT event_id, json_extract(props, '$.k')::BIGINT AS k FROM events

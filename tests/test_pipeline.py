@@ -55,6 +55,35 @@ def test_cluster_table_consistent(pipeline_out):
     assert (clusters.set_index("cluster_id").exemplar_id.sort_index() == min_member.sort_index()).all()
 
 
+def test_cluster_diagnostics_consistent(pipeline_out):
+    """Over-merge audit table (R/summarizers.R:57-92 analog): every
+    cluster appears once, sizes agree with assignments, tier counts sum
+    to n_edges, singletons carry 0 edges / NULL min sim, and every
+    min_intra_sim is a valid [0,1] weakest-link value."""
+    out, _, _ = pipeline_out
+    diag = out["cluster_diagnostics"].toPandas()
+    assigns = out["assignments"].toPandas()
+
+    sizes = assigns.groupby("cluster_id").size()
+    got = diag.set_index("cluster_id")["size"].sort_index()
+    assert (got == sizes.sort_index()).all()
+    assert diag.cluster_id.is_unique
+
+    tier_sum = diag[["n_edges_caption", "n_edges_image", "n_edges_image_exact"]].sum(axis=1)
+    assert (tier_sum == diag.n_edges).all()
+
+    singles = diag[diag["size"] == 1]
+    assert (singles.n_edges == 0).all()
+    assert singles.min_intra_sim.isna().all()
+    assert singles.edge_density.isna().all()
+
+    multi = diag[diag["size"] > 1]
+    assert (multi.n_edges > 0).all()  # CC clusters exist only via edges
+    assert multi.min_intra_sim.between(0.0, 1.0).all()
+    assert (multi.n_distinct_images <= multi["size"]).all()
+    assert (multi.edge_density > 0).all()
+
+
 def test_resume_is_byte_identical_and_fast(spark, pipeline_out):
     out, workdir, synth = pipeline_out
     images = spark.read.parquet(synth["images"])

@@ -194,6 +194,48 @@ def run_pipeline(
 
     clusters = roc("clusters", _clusters, upstream=("assignments", "ingest"))
 
+    # --- per-cluster over-merge diagnostics -----------------------------------
+    # Reference analog: the over-inclusion audit summarizers
+    # (R/summarizers.R:57-92, README.md:117, DICTIONARY.md:88-118).
+    # Tier similarities are mapped onto one [0,1] scale so min_intra_sim
+    # is comparable across tiers: caption = exact Jaccard, image =
+    # 1 - hamming/64, image_exact = 1.0 (byte identity).
+    def _cluster_diagnostics() -> DataFrame:
+        from who_owns_mass_processing_spark.operators.diagnostics import (
+            cluster_diagnostics,
+        )
+
+        sim_edges = (
+            caption_pairs.select("a", "b", "tier", F.col("jaccard").alias("sim"))
+            .unionByName(
+                image_pairs.select(
+                    "a", "b", "tier",
+                    (F.lit(1.0) - F.col("hamming") / F.lit(64.0)).alias("sim"),
+                )
+            )
+            .unionByName(
+                image_exact_edges.select("a", "b", "tier", F.lit(1.0).alias("sim"))
+            )
+        )
+        return cluster_diagnostics(
+            assignments,
+            ingested,
+            sim_edges,
+            id_col="image_id",
+            cluster_col="cluster_id",
+            distinct_counts={"n_formats": "fmt", "n_distinct_images": "byte_fp"},
+            sim_col="sim",
+            tier_values=("caption", "image", "image_exact"),
+        )
+
+    cluster_diag = roc(
+        "cluster_diagnostics",
+        _cluster_diagnostics,
+        upstream=(
+            "assignments", "caption_pairs", "image_pairs", "image_exact_edges", "ingest"
+        ),
+    )
+
     # --- optional C7 second network round --------------------------------------
     # Reference analog: community detection over GROUP ids rather than row
     # ids (dedupe_network over (company_group, officer group),
@@ -294,6 +336,7 @@ def run_pipeline(
         "edges": edges,
         "assignments": assignments,
         "clusters": clusters,
+        "cluster_diagnostics": cluster_diag,
         "metrics": metrics,
         "partition_metrics": partition_metrics,
         "lineage": lineage,
