@@ -121,12 +121,21 @@ def candidate_pairs(
     payload = F.col(payload_col) if payload_col else F.lit(0)
     item = F.struct(F.col(id_col).alias("id"), payload.alias("payload"))
 
-    # census: one tiny row per bucket; checkpoint so the tag join reads a
-    # materialized table (AQE then broadcasts it) instead of recomputing
-    # the census per consumer
-    sizes = bucket_sizes(bands_df).localCheckpoint(eager=True)
+    # census of DUP buckets only (bucket_n >= 2): singleton buckets
+    # generate no pairs, so they must never enter the tag join or the
+    # cell groupBy.  For gram-style blocking (substring tier) the
+    # overwhelming majority of buckets are singletons — pruning here cut
+    # the 1M-doc substring bench's banding input from 206M rows to the
+    # ~4M rows that actually share a gram, and keeps the checkpointed
+    # census bounded by the true duplicate volume (whose join-side stats
+    # are then accurate: Spark broadcasts it only when genuinely small;
+    # the unpruned 206M-row census was mis-broadcast and blew
+    # spark.driver.maxResultSize).  The inner join doubles as the
+    # singleton filter.
+    sizes = bucket_sizes(bands_df)  # lazy full census — feeds metrics only
+    census = sizes.where(F.col("bucket_n") >= 2).localCheckpoint(eager=True)
 
-    tagged = bands_df.join(sizes, ["band_id", "band_hash"]).where(
+    tagged = bands_df.join(census, ["band_id", "band_hash"]).where(
         F.col("bucket_n") <= hard_cap
     )
     m = F.ceil(F.col("bucket_n") / F.lit(cap)).cast("int")
@@ -173,6 +182,10 @@ def candidate_pairs(
         .drop("_one")
     )
 
+    # metrics stay on the FULL census (singletons count as "kept"); lazy
+    # by design — the caller pays one census recompute only when it
+    # materializes the skew table, instead of every call checkpointing a
+    # corpus-sized bucket list
     metrics = (
         sizes.select(
             F.when(F.col("bucket_n") > hard_cap, F.lit("dropped_stop_band"))
