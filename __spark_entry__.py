@@ -322,6 +322,14 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return D.ngram_jaccard_pairs(d, "doc_id", "text", CFG.shingle_k, CFG.jaccard_threshold)
 
 
+def q_ngram_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle containment (doc-in-doc subsumption): ordered
+    pairs with |Sa∩Sb|/|Sa| >= 0.9 — the quoted/embedded-document
+    detector symmetric Jaccard misses at size asymmetry."""
+    d = _t(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(d, "doc_id", "text", CFG.shingle_k, 0.9)
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """LSH-blocked + exact-verified near-dup pairs. With (b=32, r=4) the
     miss probability at J>=0.8 is (1-0.8^4)^32 ~ 5e-8, so the output
@@ -344,6 +352,41 @@ def q_dedup_cc_assignments(spark, sf_dir):
     out = C.with_singletons(d.select("doc_id"), "doc_id", cc)
     return out.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish token counting (training-data budget accounting): GPT-2
+    pre-tokenizer regex split, whitespace-only pieces excluded — the
+    engine-portable subset of the GPT-2 pattern (no RE2-incompatible
+    lookahead), pure JVM regexp."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.bpe_token_count(F.col("text")).alias("bpe_tokens"))
+
+
+def q_repetition_metrics(spark, sf_dir):
+    """Gopher-rule repetition quality signals: per doc, the fraction of
+    repeated word tokens and the fraction of bigrams matching the modal
+    bigram — the boilerplate/looping-text filters of a training-data
+    pipeline, all Catalyst builtins."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.dup_token_fraction(F.col("text")).alias("dup_token_frac"),
+        T.top_bigram_fraction(F.col("text")).alias("top_bigram_frac"),
+    )
+
+
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al., MOSS): per-
+    window-minimal k-grams of the normalized text, exploded to rows.
+    Any >= w+k-1-char shared run between two docs shares >= 1
+    fingerprint — the rolling-hash fingerprint surface of the
+    training-data tier."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(T.winnow_fingerprints(F.col("text"), k=5, w=4)).alias("gram"),
     )
 
 
@@ -687,6 +730,21 @@ def q_substring_dup_spans(spark, sf_dir):
     return substring_dup_spans(d, "doc_id", "text", min_len=25)
 
 
+def q_substring_dedup_cut(spark, sf_dir):
+    """Lee et al. CUT step applied: every duplicated region (length-25
+    windows occurring >= 2 times corpus-wide, merged maximal spans) is
+    removed from every document; span-free docs pass through.  Window
+    over per-doc spans + segment reassembly — linear, builtins only."""
+    from who_owns_mass_processing_spark.operators.substrings import (
+        apply_span_cuts,
+        substring_dup_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    spans = substring_dup_spans(d, "doc_id", "text", min_len=25)
+    return apply_span_cuts(d, spans, "doc_id", "text")
+
+
 def q_substring_dup_pairs(spark, sf_dir):
     """Cross-doc verbatim-overlap pairs: (a, b, n_shared) distinct
     shared 25-grams — the SQL-checkable all-pairs twin of the blocked +
@@ -834,6 +892,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_cc_assignments": q_dedup_cc_assignments,
         "cluster_diagnostics": q_cluster_diagnostics,
+        "bpe_token_count": q_bpe_token_count,
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "repetition_metrics": q_repetition_metrics,
+        "ngram_containment_pairs": q_ngram_containment_pairs,
         "json_extract": q_json_extract,
         "numeric_heuristics": q_numeric_heuristics,
         "explode_tokens": q_explode_tokens,
@@ -852,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vintage_pick": q_vintage_pick,
         "substring_dup_spans": q_substring_dup_spans,
         "substring_dup_pairs": q_substring_dup_pairs,
+        "substring_dedup_cut": q_substring_dedup_cut,
         "cascade_lookup": q_cascade_lookup,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "standardize_name": q_standardize_name,
@@ -1100,6 +1163,18 @@ def oracle_sql() -> dict[str, str]:
             FROM fp JOIN g USING (fingerprint)
         """,
         "ngram_jaccard_pairs": _jaccard_pairs_sql(0.80),
+        "ngram_containment_pairs": f"""
+            WITH sh AS (
+              SELECT doc_id, {_SHINGLES.format(t=_NORM.format(c="text"))} AS s
+              FROM documents
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6)
+                     AS containment
+            FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+            WHERE len(a.s) > 0
+              AND round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6) >= 0.9
+        """,
         "minhash_lsh_pairs": _jaccard_pairs_sql(0.80),
         "dedup_cc_assignments": f"""
             WITH RECURSIVE pairs AS ({_jaccard_pairs_sql(0.80)}),
@@ -1114,6 +1189,57 @@ def oracle_sql() -> dict[str, str]:
               WHERE w.label < e.dst
             )
             SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+        """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   len(list_filter(
+                       regexp_extract_all(text,
+                           '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+                       p -> regexp_matches(p, '\S'))) AS bpe_tokens
+            FROM documents
+        """,
+        "repetition_metrics": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split({norm_text}, ' '),
+                                 w -> length(w) > 0) AS toks
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) >= 2 THEN
+                       list_transform(generate_series(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i + 1])
+                     ELSE [] END AS bigrams
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE round(1.0 - len(list_distinct(toks))::DOUBLE
+                                   / len(toks), 6) END AS dup_token_frac,
+                   CASE WHEN len(bigrams) = 0 THEN 0.0
+                        ELSE round(list_max(list_transform(list_distinct(bigrams),
+                               g -> len(list_filter(bigrams, x -> x = g))))::DOUBLE
+                               / len(bigrams), 6) END AS top_bigram_frac
+            FROM b
+        """,
+        "winnow_fingerprint": f"""
+            WITH t AS (SELECT doc_id, {norm_text} AS t FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, greatest(length(t) - 4, 1)),
+                                    i -> substr(t, i, 5)) AS grams
+              FROM t WHERE length(t) >= 5
+            ),
+            p AS (
+              SELECT doc_id,
+                     list_sort(list_distinct(
+                       list_transform(generate_series(1, greatest(len(grams) - 3, 1)),
+                                      i -> list_min(list_slice(grams, i, i + 3)))
+                     )) AS picks
+              FROM g
+            )
+            SELECT doc_id, unnest(picks) AS gram FROM p
         """,
         "cluster_diagnostics": f"""
             WITH RECURSIVE pairs AS ({_jaccard_pairs_sql(0.80)}),
@@ -1400,6 +1526,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(pos) AS span_start, max(pos) + 25 AS span_end,
                    count(*) AS n_grams
             FROM isl GROUP BY doc_id, i
+        """,
+        "substring_dedup_cut": """
+            WITH pos AS (
+              SELECT doc_id, text,
+                     unnest(range(0, greatest(length(text) - 25 + 1, 0))) AS pos
+              FROM documents
+            ),
+            occ AS (
+              SELECT doc_id, pos, substr(text, CAST(pos AS INT) + 1, 25) AS gram
+              FROM pos
+            ),
+            freq AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2),
+            dupocc AS (SELECT o.doc_id, o.pos FROM occ o JOIN freq USING (gram)),
+            brks AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                    ORDER BY pos) <= 25
+                          THEN 0 ELSE 1 END AS brk
+              FROM dupocc
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS i
+              FROM brks
+            ),
+            spans AS (
+              SELECT doc_id, min(pos) AS s, max(pos) + 25 AS e
+              FROM isl GROUP BY doc_id, i
+            ),
+            seg AS (
+              SELECT doc_id, s, e,
+                     coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+                       AS prev_e
+              FROM spans
+            ),
+            pieces AS (
+              SELECT d.doc_id, seg.prev_e AS ord,
+                     substr(d.text, CAST(seg.prev_e AS INT) + 1,
+                            CAST(seg.s - seg.prev_e AS INT)) AS piece
+              FROM seg JOIN documents d USING (doc_id)
+              UNION ALL
+              SELECT d.doc_id, m.last_e AS ord,
+                     substr(d.text, CAST(m.last_e AS INT) + 1) AS piece
+              FROM (SELECT doc_id, max(e) AS last_e FROM spans GROUP BY doc_id) m
+              JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS text_dedup
+            FROM pieces GROUP BY doc_id
+            UNION ALL
+            SELECT doc_id, text AS text_dedup FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM spans)
         """,
         "substring_dup_pairs": """
             WITH pos AS (

@@ -51,9 +51,13 @@ def main() -> None:
         spark, images, args.workdir, cfg,
         refresh=args.refresh, second_round=args.second_round,
     )
-    n_clusters = out["clusters"].count()
-    n_rows = out["assignments"].count()
-    print(f"assignments={n_rows} clusters={n_clusters} workdir={args.workdir}")
+    # counts come from the stage manifest via the lineage table (local
+    # rows) — a resumed invocation reports without launching count jobs
+    lin = {r["stage"]: r["rows"] for r in out["lineage"].collect()}
+    print(
+        f"assignments={lin['assignments']} clusters={lin['clusters']} "
+        f"workdir={args.workdir}"
+    )
 
 
 if __name__ == "__main__":

@@ -182,3 +182,51 @@ def test_span_mirror_property(spark):
         assert got == _mirror_spans(docs, 5)
 
     check()
+
+
+def test_apply_span_cuts_python_mirror(spark):
+    """Cut semantics vs a direct python mirror on hand-built docs:
+    duplicated regions removed, survivors concatenated in order,
+    span-free docs untouched, fully-duplicated docs -> empty string."""
+    import pandas as pd
+
+    from who_owns_mass_processing_spark.operators.substrings import (
+        apply_span_cuts,
+        substring_dup_spans,
+    )
+
+    L = 10
+    shared = "0123456789abcdefghij"  # 20 chars, >= L
+    docs = {
+        1: f"AAA{shared}BBB",
+        2: f"CCCC{shared}DDDD",
+        3: "totally unique text here",
+        4: shared,            # fully duplicated -> empty after cut
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    spans = substring_dup_spans(df, "doc_id", "text", min_len=L)
+    got = {
+        r.doc_id: r.text_dedup
+        for r in apply_span_cuts(df, spans, "doc_id", "text").collect()
+    }
+    # python mirror: remove every char covered by a duplicated L-window
+    def mirror(corpus):
+        from collections import Counter
+        grams = Counter()
+        for t in corpus.values():
+            for i in range(max(len(t) - L + 1, 0)):
+                grams[t[i:i + L]] += 1
+        out = {}
+        for k, t in corpus.items():
+            covered = [False] * len(t)
+            for i in range(max(len(t) - L + 1, 0)):
+                if grams[t[i:i + L]] >= 2:
+                    for j in range(i, i + L):
+                        covered[j] = True
+            out[k] = "".join(c for c, cov in zip(t, covered) if not cov)
+        return out
+
+    assert got == mirror(docs)
+    assert got[3] == docs[3] and got[4] == ""

@@ -86,3 +86,70 @@ def test_token_count_and_quality(spark):
     assert counts == [3, 0, 1]
     quals = [r[0] for r in df.select(T.quality_score(F.col("t"))).collect()]
     assert all(0.0 <= q <= 1.0 for q in quals)
+
+
+def test_bpe_token_count_known_values(spark):
+    cases = {
+        "hello world": 2,
+        "don't stop": 3,          # don + 't + stop
+        "abc123 x-y": 5,          # abc + 123 + x + - + y
+        "": 0,
+        "   ": 0,
+        "a  b": 2,
+    }
+    df = spark.createDataFrame(pd.DataFrame({"t": list(cases)}))
+    got = {
+        r.t: r.n
+        for r in df.select("t", T.bpe_token_count(F.col("t")).alias("n")).collect()
+    }
+    assert got == cases
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing contract: two docs sharing a run of >= w+k-1 chars
+    (after normalization) share >= 1 fingerprint; and every fingerprint
+    is a k-gram of the doc."""
+    k, w = 5, 4
+    shared = "zqxjvkwpfy"  # len 10 >= w+k-1=8, unusual chars
+    rows = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "t": [f"left part {shared} tail one", f"other begin {shared} end", "unrelated text entirely"],
+    })
+    df = spark.createDataFrame(rows)
+    out = df.select(
+        "doc_id", T.winnow_fingerprints(F.col("t"), k=k, w=w).alias("fp")
+    ).collect()
+    fps = {r.doc_id: set(r.fp) for r in out}
+    assert fps[1] & fps[2], "shared run must contribute a common fingerprint"
+    from who_owns_mass_processing_spark.synth import normalize_text as pynorm
+    for r in out:
+        t = pynorm(rows.set_index("doc_id").t[r.doc_id])
+        grams = {t[i:i + k] for i in range(max(len(t) - k + 1, 1))}
+        assert set(r.fp) <= grams
+    # short doc -> empty fingerprint set
+    short = spark.createDataFrame(pd.DataFrame({"t": ["ab"]}))
+    assert short.select(T.winnow_fingerprints(F.col("t")).alias("f")).first().f == []
+
+
+def test_repetition_metrics_known_values(spark):
+    cases = [
+        ("a b a b a b", 4 / 6, None),       # "a b" x3, "b a" x2 of 5 bigrams
+        ("unique words only here", 0.0, 0.0),
+        ("", 0.0, 0.0),
+        ("spam spam spam spam", 0.75, 1.0),  # all bigrams identical
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"t": [c[0] for c in cases]}))
+    got = df.select(
+        "t",
+        T.dup_token_fraction(F.col("t")).alias("d"),
+        T.top_bigram_fraction(F.col("t")).alias("b"),
+    ).collect()
+    by_t = {r.t: r for r in got}
+    assert abs(by_t["a b a b a b"].d - round(4 / 6, 6)) < 1e-9
+    assert abs(by_t["a b a b a b"].b - 0.6) < 1e-9  # "a b" 3 of 5
+    assert by_t["unique words only here"].d == 0.0
+    # all-distinct bigrams: modal bigram is any one of the 3 -> 1/3
+    assert abs(by_t["unique words only here"].b - round(1 / 3, 6)) < 1e-9
+    assert by_t[""].d == 0.0 and by_t[""].b == 0.0
+    assert by_t["spam spam spam spam"].d == 0.75
+    assert by_t["spam spam spam spam"].b == 1.0

@@ -74,6 +74,60 @@ def token_count(col: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer split, restricted to syntax shared by Java
+# regex (Spark) and RE2 (DuckDB): contraction suffixes, optional-space
+# letter runs, digit runs, punctuation runs, whitespace runs.  The real
+# GPT-2 pattern's `\s+(?!\S)` lookahead is not RE2-expressible; the
+# practical effect (trailing-space attachment) does not change counts.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: pieces of the GPT-2 pre-tokenizer split,
+    whitespace-only pieces excluded (they merge into neighbors in real
+    BPE).  The piece count upper-bounds (and at typical English text
+    closely tracks ~0.75x) the true merged-BPE token count without
+    needing a vocab file — the standard budget heuristic for training-
+    data accounting.  Pure JVM regexp (codegen'd), no UDF."""
+    pieces = F.regexp_extract_all(col, F.lit(BPE_SPLIT_RE), 0)
+    return F.size(F.filter(pieces, lambda p: F.length(F.trim(p)) > 0))
+
+
+def winnow_fingerprints(col: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
+    MOSS): the distinct set of per-window-minimal k-grams of the
+    normalized text, one selection per sliding window of `w` grams.
+    Guarantee: any shared run of >= w+k-1 chars between two documents
+    contributes >= 1 shared fingerprint.
+
+    Selection key is the lexicographic gram itself so the operator is
+    engine-portable (the DuckDB oracle computes the identical set); a
+    production deployment at 10^12 docs would winnow on xxhash64(gram)
+    instead to de-bias selection — same plan shape, same cost.  All
+    builtins: transform/slice/array_min/array_distinct, no UDF, no
+    shuffle (per-row map)."""
+    t = normalize_text(col)
+    n = F.length(t)
+    n_grams = n - F.lit(k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: t.substr(i, F.lit(k)),
+    )
+    # let-binding idiom: wrap `grams` in a 1-element array and bind it as
+    # a lambda variable, so the gram array is EVALUATED ONCE per row.  A
+    # direct reference inside the window lambda would be inlined by the
+    # expression compiler and recomputed per window — O(n^2) substr work
+    # per document (observed: minutes instead of seconds on sf0.01).
+    picks_of = lambda g: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.greatest(F.size(g) - F.lit(w - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(g, i, w)),
+    )
+    picks = F.element_at(F.transform(F.array(grams), picks_of), 1)
+    return F.when(n < F.lit(k), F.array().cast("array<string>")).otherwise(
+        F.array_sort(F.array_distinct(picks))
+    )
+
+
 def word_tokens(col: Column) -> Column:
     return F.filter(F.split(normalize_text(col), " "), lambda w: F.length(w) > 0)
 
@@ -100,6 +154,53 @@ def quality_score(col: Column) -> Column:
     len_band = F.when(n < 20, F.lit(0.2)).when(n < 100, F.lit(0.6)).otherwise(F.lit(1.0))
     wl_band = F.when((mean_len >= 3.0) & (mean_len <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
     return F.round((len_band * 0.4 + density * 0.4 + wl_band * 0.2), 6)
+
+
+def dup_token_fraction(col: Column) -> Column:
+    """Repetition signal (Gopher-rule family): fraction of word tokens
+    that are repeats of an earlier token, 1 - distinct/total."""
+    toks = word_tokens(col)
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double"),
+            6,
+        )
+    )
+
+
+def top_bigram_fraction(col: Column) -> Column:
+    """Repetition signal (Gopher-rule family): fraction of word bigrams
+    equal to the single most frequent bigram — near-1 on boilerplate /
+    looping text.  (Gopher's character-fraction variant is a trivial
+    recombination; the bigram-count form keeps the oracle exact.)
+    Per-row array work only (O(distinct^2) on the row's own bigrams) —
+    no UDF, no shuffle."""
+    toks = word_tokens(col)
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # same let-binding as winnow_fingerprints: bind the bigram array once
+    # so the count lambda does not re-evaluate its construction per
+    # distinct bigram
+    frac_of = lambda bg: F.when(F.size(bg) == 0, F.lit(0.0)).otherwise(  # noqa: E731
+        F.round(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(bg),
+                    lambda b: F.size(F.filter(bg, lambda x: x == b)),
+                )
+            ).cast("double")
+            / F.size(bg).cast("double"),
+            6,
+        )
+    )
+    return F.element_at(F.transform(F.array(bigrams), frac_of), 1)
 
 
 def fingerprint_md5(col: Column) -> Column:

@@ -215,6 +215,34 @@ def ngram_jaccard_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
+def ngram_containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int, threshold: float
+) -> DataFrame:
+    """Asymmetric containment pairs: |Sa ∩ Sb| / |Sa| >= threshold for
+    ordered (a, b), a != b — catches doc-in-doc subsumption that
+    symmetric Jaccard misses when |Sb| >> |Sa| (a quoted/embedded
+    document).  O(n^2) oracle-scale twin like ngram_jaccard_pairs; at
+    scale verbatim containment is served by the substring tier
+    (operators/substrings.py — an embedded doc is one long shared
+    span), and set-containment candidates ride the same LSH machinery
+    with the threshold mapped via J >= c/(1 + |Sb|/|Sa| - c).
+    Empty-shingle docs emit nothing (containment undefined)."""
+    sh = df.select(
+        F.col(id_col), T.char_shingles(F.col(text_col), k).alias("_sh")
+    )
+    a = sh.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("_sh").alias("_sb"))
+    joined = a.join(b, F.col("a") != F.col("b")).where(F.size("_sa") > 0)
+    cont = F.round(
+        F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))).cast("double")
+        / F.size("_sa").cast("double"),
+        6,
+    )
+    return joined.select("a", "b", cont.alias("containment")).where(
+        F.col("containment") >= threshold
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, radius: int = 3, n_bands: int = 4
 ) -> DataFrame:

@@ -213,6 +213,68 @@ def substring_dup_pairs_blocked(
     return pairs, metrics
 
 
+def apply_span_cuts(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The Lee et al. dedup CUT step: remove every duplicated region
+    from every document.  (id, text) x spans(id, span_start, span_end)
+    -> (id, text_dedup); docs without spans pass through unchanged.
+
+    Policy: ALL occurrences of a duplicated region are removed (Lee et
+    al. keep one global occurrence, which requires electing a keeper
+    across documents; the keep-one policy composes from this operator
+    plus an exact-dup exemplar pick when needed — see exact_dedup's
+    is_canonical).
+
+    Plan shape: one window over each doc's spans (bounded by spans per
+    doc, not corpus), one join to attach text, a groupBy re-assembling
+    surviving segments in order — linear, no pair listing, builtins
+    only.  Spans from substring_dup_spans are maximal and merged, so
+    segments never overlap."""
+    txt = F.col(text_col)
+    w = Window.partitionBy(id_col).orderBy("span_start")
+    seg = (
+        spans.select(id_col, "span_start", "span_end")
+        .withColumn("_prev_end", F.coalesce(F.lag("span_end").over(w), F.lit(0)))
+        .join(df.select(id_col, text_col), id_col)
+    )
+    pieces = seg.select(
+        F.col(id_col),
+        F.col("_prev_end").alias("_ord"),
+        txt.substr(
+            (F.col("_prev_end") + 1).cast("int"),
+            (F.col("span_start") - F.col("_prev_end")).cast("int"),
+        ).alias("_piece"),
+    )
+    tails = (
+        seg.groupBy(id_col)
+        .agg(F.max("span_end").alias("_last"))
+        .join(df.select(id_col, text_col), id_col)
+        .select(
+            F.col(id_col),
+            F.col("_last").alias("_ord"),
+            txt.substr((F.col("_last") + 1).cast("int"), F.length(txt)).alias("_piece"),
+        )
+    )
+    cut = (
+        pieces.unionByName(tails)
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_ord", "_piece"))),
+                    lambda s: s["_piece"],
+                ),
+            ).alias("text_dedup")
+        )
+    )
+    untouched = df.join(
+        spans.select(id_col).distinct(), id_col, "left_anti"
+    ).select(F.col(id_col), txt.alias("text_dedup"))
+    return cut.unionByName(untouched)
+
+
 def lcs_substring_py(s: str, t: str) -> int:
     """Longest common substring length via a suffix automaton of s
     (O(|s|+|t|)) — the per-pair verify kernel.  Pure python; used only
