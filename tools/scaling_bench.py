@@ -157,7 +157,7 @@ spark.sparkContext.setLogLevel("ERROR")
 # pairs.  Accidental cross-doc 25-char window collisions are birthday-
 # bounded at ~(n_docs*40)^2/2 * 5000^-4 ~ 2.5 pairs at 1M docs (measured:
 # exactly 1), so the kernel's work is the planted signal, not noise.
-base_expr = F.when((F.col("id") % 100) == 1, F.col("id") - 1).otherwise(F.col("id"))
+base_expr = F.when(F.pmod(F.col("id"), F.lit(100)) == 1, F.col("id") - 1).otherwise(F.col("id"))
 ws = F.transform(F.sequence(F.lit(0), F.lit(29)),
                  lambda i: F.concat(F.lit("w"), F.pmod(F.xxhash64(base_expr, i), F.lit(5000))))
 wo = F.transform(F.sequence(F.lit(30), F.lit(39)),
@@ -362,7 +362,7 @@ each run is normalized by its OWN same-run ceiling.
         md += """## Exact-substring tier (spans + blocked LCS-verified pairs)
 
 Same two-parallelism protocol over a deterministic Spark-generated text
-corpus (~230 chars/doc, 1%% planted near-copy pairs sharing a ~210-char
+corpus (~230 chars/doc, 1 in 100 docs a planted near-copy sharing a ~210-char
 prefix; `SUBSTR_WORKER` in tools/scaling_bench.py).  `spans` is the
 linear Lee-et-al. L-gram path (explode -> groupBy -> join -> per-doc
 window, 128-bit gram keys); `pairs` is the blocked path (gram blocking
