@@ -35,6 +35,9 @@ HEADLINE = [
     "embedding_topk",
     "embedding_ann_lsh",
     "substring_dup_spans",
+    "substring_dedup_cut",
+    "winnow_fingerprint",
+    "repetition_metrics",
     "lang_id",
     "quality_score",
     "windowed_event_counts",
