@@ -206,6 +206,159 @@ print(json.dumps({
 """
 
 
+INTERLEAVED_WORKER = r"""
+import gc, json, os, sys, time
+sys.path.insert(0, %(repo)r)
+cores = int(sys.argv[1]); n_base = int(sys.argv[2]); reps = int(sys.argv[3])
+coord = sys.argv[4]
+from pyspark.sql import functions as F
+from bench import ensure_bench_images_parallel
+from who_owns_mass_processing_spark.session import get_spark
+from who_owns_mass_processing_spark.config import DedupeConfig
+from who_owns_mass_processing_spark.functions.images import image_meta_udf, phash_combo_bands
+from who_owns_mass_processing_spark.operators.blocking import hamming_pairs
+from who_owns_mass_processing_spark.operators.connected_components import connected_components
+from who_owns_mass_processing_spark.operators.dedupe import (
+    exact_fingerprint_edges, minhash_signatures, rep_pairs_from_sigs)
+from who_owns_mass_processing_spark.operators.verify import verify_psnr
+
+cfg = DedupeConfig()
+spark = get_spark(cores=cores, shuffle_partitions=2 * cores)
+spark.sparkContext.setLogLevel("ERROR")
+images = spark.read.parquet(ensure_bench_images_parallel(n_base))
+n = images.count()
+
+def one_run():
+    t = {}
+    t0 = time.time()
+    meta = image_meta_udf()
+    ingested = images.select(
+        "image_id", "fmt", "caption",
+        meta(F.col("bytes")).alias("m"),
+        F.sha2(F.col("bytes"), 256).alias("byte_fp"),
+    ).select("image_id", "fmt", "caption", F.col("m.phash").alias("phash"), "byte_fp")
+    ingested = ingested.localCheckpoint(eager=True)
+    sigs = minhash_signatures(ingested, "image_id", "caption", cfg)
+    sigs = sigs.join(ingested.select("image_id", "phash", "byte_fp"), "image_id")
+    sigs = sigs.localCheckpoint(eager=True)
+    t["sig"] = time.time() - t0
+    t0 = time.time()
+    stop = cfg.stop_band_threshold(n)
+    cap_rep_pairs, _ = rep_pairs_from_sigs(sigs, "image_id", cfg, corpus_rows=n)
+    cap_edges = cap_rep_pairs.select("a", "b").unionByName(
+        exact_fingerprint_edges(sigs, "image_id").select("a", "b"))
+    byte_reps = sigs.groupBy("byte_fp").agg(F.min("image_id").alias("image_id"))
+    reps_df = sigs.join(byte_reps, ["image_id", "byte_fp"], "left_semi")
+    img_bands = phash_combo_bands(reps_df, "phash", "image_id",
+                                  cfg.phash_bands, cfg.hamming_radius)
+    img_ok_pairs, _ = hamming_pairs(img_bands, "image_id", "phash",
+                                    cfg.hamming_radius, cfg.band_bucket_cap, stop)
+    img_ok = verify_psnr(img_ok_pairs.select("a", "b"), images.select("image_id", "bytes", "fmt"),
+                         "image_id", "bytes", "fmt", cfg.psnr_min_db)
+    byte_star = sigs.join(byte_reps.withColumnRenamed("image_id", "a"), "byte_fp").where(
+        F.col("image_id") != F.col("a")).select("a", F.col("image_id").alias("b"))
+    edges = (cap_edges.unionByName(img_ok.select("a", "b"))
+             .unionByName(byte_star).distinct().localCheckpoint(eager=True))
+    t["edges"] = edges.count()
+    t["block"] = time.time() - t0
+    t0 = time.time()
+    cc = connected_components(edges)
+    cc.write.format("noop").mode("overwrite").save()
+    t["cc"] = time.time() - t0
+    return t
+
+def cleanup():
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
+
+def wait_for(path, timeout=3600):
+    t0 = time.time()
+    while not os.path.exists(path):
+        if time.time() - t0 > timeout:
+            raise RuntimeError("coordination timeout waiting for " + path)
+        time.sleep(0.5)
+
+# warm-up rep is ALSO token-gated so the two JVMs never overlap
+wait_for(os.path.join(coord, f"go_{cores}_warm"))
+cold = one_run()
+cleanup()
+open(os.path.join(coord, f"done_{cores}_warm"), "w").write(
+    json.dumps({k: round(v, 2) for k, v in cold.items()}))
+runs = []
+for r in range(reps):
+    wait_for(os.path.join(coord, f"go_{cores}_{r}"))
+    res = one_run()
+    cleanup()
+    runs.append(res)
+    open(os.path.join(coord, f"done_{cores}_{r}"), "w").write(
+        json.dumps({k: round(v, 2) for k, v in res.items()}))
+
+med = lambda key: sorted(r[key] for r in runs)[len(runs) // 2]
+core_sec = med("sig") + med("block")
+print(json.dumps({
+    "cores": cores, "n_images": n, "edges": runs[0]["edges"],
+    "cold_sec": round(cold["sig"] + cold["block"], 2),
+    "sig_sec": round(med("sig"), 2), "block_sec": round(med("block"), 2),
+    "cc_sec": round(med("cc"), 2),
+    "images_per_sec": round(n / core_sec, 2),
+    "reps": [{k: round(v, 2) for k, v in r.items()} for r in runs],
+}))
+"""
+
+
+def run_interleaved(n_base: int, reps: int) -> tuple[dict, dict]:
+    """Round-4 protocol (SCALING_INTERLEAVE=1): both parallelism levels'
+    JVMs stay alive and reps ALTERNATE 8,32,8,32,... via a file-token
+    ping-pong, so both levels sample adjacent host windows.  Fixes the
+    round-3 confound: sequential-level runs measured the two levels ~20
+    minutes apart on a host whose throughput drifts 2-3x between
+    windows (BENCH.md forensics).  Ceiling methodology unchanged; only
+    the rep SCHEDULING changes.  Memory: two drivers at 24g + off-heap
+    fit the 125 GiB host."""
+    import tempfile
+
+    coord = tempfile.mkdtemp(prefix="scaling_interleave_")
+    env = dict(os.environ, SPARK_DRIVER_MEM="24g")
+    procs = {
+        c: subprocess.Popen(
+            [sys.executable, "-c", INTERLEAVED_WORKER % {"repo": REPO},
+             str(c), str(n_base), str(reps), coord],
+            stdout=subprocess.PIPE, stderr=sys.stderr, text=True, cwd=REPO, env=env,
+        )
+        for c in (8, 32)
+    }
+
+    def release(cores: int, tag: str) -> None:
+        open(os.path.join(coord, f"go_{cores}_{tag}"), "w").write("go")
+
+    def await_done(cores: int, tag: str, timeout: float = 3600) -> None:
+        import time as _t
+
+        path = os.path.join(coord, f"done_{cores}_{tag}")
+        t0 = _t.time()
+        while not os.path.exists(path):
+            if procs[cores].poll() is not None:
+                raise RuntimeError(f"worker {cores} died before {tag}")
+            if _t.time() - t0 > timeout:
+                raise RuntimeError(f"timeout on worker {cores} {tag}")
+            _t.sleep(1)
+
+    for tag in ["warm"] + [str(r) for r in range(reps)]:
+        for c in (8, 32):  # strict alternation, never concurrent
+            release(c, tag)
+            await_done(c, tag)
+
+    out = {}
+    for c, p in procs.items():
+        stdout, _ = p.communicate(timeout=600)
+        lines = [ln for ln in stdout.strip().splitlines() if ln.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"interleaved worker {c} produced no result")
+        out[c] = json.loads(lines[-1])
+    return out[8], out[32]
+
+
 def _burn(n: int) -> float:
     import time
 
@@ -412,12 +565,16 @@ def main() -> None:
     )
     # full protocol n_runs times; state file makes a crash resumable and
     # BENCH.md is rewritten after every completed unit of work
+    interleave = os.environ.get("SCALING_INTERLEAVE", "0") == "1"
     while len(state["runs"]) < n_runs:
         i = len(state["runs"]) + 1
-        print(f"=== full run {i}/{n_runs}", flush=True)
+        print(f"=== full run {i}/{n_runs} (interleave={interleave})", flush=True)
         ceil = machine_ceiling()
-        r8 = run_worker(WORKER, 8, n_base, reps)
-        r32 = run_worker(WORKER, 32, n_base, reps)
+        if interleave:
+            r8, r32 = run_interleaved(n_base, reps)
+        else:
+            r8 = run_worker(WORKER, 8, n_base, reps)
+            r32 = run_worker(WORKER, 32, n_base, reps)
         state["runs"].append({"ceiling": ceil, "r8": r8, "r32": r32})
         _save_state(state)
         write_bench_md(state, reps)
