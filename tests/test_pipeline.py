@@ -182,6 +182,69 @@ def test_upstream_recompute_cascades_downstream(spark, tmp_path):
     assert got == want  # downstream did NOT serve the stale 40-base clusters
 
 
+def test_refresh_killed_mid_cascade_then_plain_resume(spark, tmp_path):
+    """Durable staleness (ADVICE r3): a refresh run crashes after an
+    UPSTREAM stage's write but before downstream writes.  The in-process
+    computed_this_run set dies with the crashed process; the manifest
+    snapshot ids must carry the cascade, so a later PLAIN resume still
+    recomputes downstream instead of serving checkpoints derived from
+    the old upstream data."""
+    from who_owns_mass_processing_spark.synth import write_images_parquet
+
+    d1 = str(tmp_path / "in1")
+    d2 = str(tmp_path / "in2")
+    workdir = str(tmp_path / "stages")
+    ip1, _, _ = write_images_parquet(d1, n_base=40, seed=7)
+    ip2, _, _ = write_images_parquet(d2, n_base=55, seed=8)
+    cfg = DedupeConfig()
+    run_pipeline(spark, spark.read.parquet(ip1), workdir, cfg)
+
+    # simulate the killed refresh: a FRESH catalog (new process) rewrites
+    # only the root stage from the new input, then "crashes"
+    from pyspark.sql import functions as F
+
+    cat = StageCatalog(spark, workdir, cfg.fingerprint())
+    new_images = spark.read.parquet(ip2)
+    cat.write(
+        "ingest",
+        new_images.select(
+            "image_id", "fmt", "caption", "phash",
+            F.sha2(F.col("bytes"), 256).alias("byte_fp"),
+        ),
+    )
+
+    # plain resume (refresh=False) in yet another fresh process
+    out = run_pipeline(spark, new_images, workdir, cfg)
+    got = sorted(r.image_id for r in out["assignments"].select("image_id").collect())
+    want = sorted(r.image_id for r in new_images.select("image_id").collect())
+    assert got == want  # downstream recomputed from the refreshed ingest
+
+
+def test_skew_metrics_do_not_recompute_census(spark):
+    """VERDICT r3 #4: materializing the skew-metrics table must not
+    re-run the banding aggregation over the raw band table — metrics
+    derive from the checkpointed dup census plus one shuffle-free
+    count.  Pinned on the optimized plan: no Aggregate keyed on
+    (band_id, band_hash) may appear in the metrics query."""
+    import pandas as pd
+
+    from who_owns_mass_processing_spark.operators.blocking import candidate_pairs
+
+    rows = [(f"h{i}", 0, 7777) for i in range(30)]
+    rows += [(f"c{i}", 1, 1000 + i // 2) for i in range(6)]
+    rows += [(f"s{i}", 2, 5000 + i) for i in range(4)]  # singletons
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "band_id", "band_hash"]))
+    _pairs, metrics = candidate_pairs(df, "id", cap=5, hard_cap=10**6)
+
+    plan = metrics._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate [band_id" not in plan, plan
+    m = {r.bucket_class: r for r in metrics.collect()}
+    # singleton buckets still counted as "kept" (parity with the old
+    # full-census rollup): 3 dup-cold buckets + 4 singletons
+    assert m["kept"].buckets == 3 + 4 and m["kept"].rows == 6 + 4
+    assert m["salted"].buckets == 1 and m["salted"].rows == 30
+
+
 def test_config_change_invalidates_checkpoints(spark, pipeline_out):
     out, workdir, synth = pipeline_out
     cat = StageCatalog(spark, workdir, DedupeConfig(jaccard_threshold=0.9).fingerprint())

@@ -422,11 +422,15 @@ def _save_state(state: dict) -> None:
     os.replace(tmp, STATE_PATH)
 
 
-def _run_block(run: dict) -> tuple[float, float, float]:
-    """(speedup, raw_eff, norm_eff) for one full execution."""
+def _run_block(run: dict) -> tuple[float, float, float | None]:
+    """(speedup, raw_eff, norm_eff) for one full execution; norm_eff is
+    None when the ceiling probe came back falsy (guard restored per
+    ADVICE r3 — a zero ceiling must render as n/a, not crash the
+    campaign after the expensive runs completed)."""
     speedup = run["r32"]["images_per_sec"] / run["r8"]["images_per_sec"]
     eff = speedup / 4.0
-    norm = eff / run["ceiling"]["ceiling"]
+    ceil = run["ceiling"].get("ceiling")
+    norm = eff / ceil if ceil else None
     return speedup, eff, norm
 
 
@@ -435,8 +439,8 @@ def write_bench_md(state: dict, reps: int) -> None:
     if not runs:
         return
     n_images = runs[0]["r8"]["n_images"]
-    effs = sorted(_run_block(r)[2] for r in runs)
-    med_norm = effs[len(effs) // 2]
+    effs = sorted(e for e in (_run_block(r)[2] for r in runs) if e is not None)
+    med_norm = effs[len(effs) // 2] if effs else None
     n_ok = sum(1 for e in effs if e >= 0.8)
 
     md = f"""# BENCH — two-parallelism scaling evidence ({len(runs)} full runs)
@@ -479,12 +483,12 @@ each run is normalized by its OWN same-run ceiling.
 """
     for i, r in enumerate(runs):
         sp, eff, norm = _run_block(r)
-        md += (
-            f"| {i + 1} | {r['ceiling']['ceiling']:.3f} | {sp:.2f}x "
-            f"| {eff:.2f} | **{norm:.2f}** |\n"
-        )
+        ceil_s = f"{r['ceiling']['ceiling']:.3f}" if r["ceiling"].get("ceiling") else "n/a"
+        norm_s = f"**{norm:.2f}**" if norm is not None else "n/a"
+        md += f"| {i + 1} | {ceil_s} | {sp:.2f}x | {eff:.2f} | {norm_s} |\n"
+    med_s = f"{med_norm:.2f}" if med_norm is not None else "n/a"
     md += f"""
-- **median normalized efficiency: {med_norm:.2f}** (target >= 0.8);
+- **median normalized efficiency: {med_s}** (target >= 0.8);
   {n_ok}/{len(runs)} runs at >= 0.8 normalized
 - verified edges: {runs[0]["r8"]["edges"]} — identical at every level of
   every run ({all(r["r8"]["edges"] == r["r32"]["edges"] == runs[0]["r8"]["edges"] for r in runs)}):
@@ -496,14 +500,16 @@ each run is normalized by its OWN same-run ceiling.
     for i, r in enumerate(runs):
         r8, r32, ceil = r["r8"], r["r32"], r["ceiling"]
         sp, eff, norm = _run_block(r)
-        md += f"""### Run {i + 1} (ceiling {ceil["ceiling"]:.3f})
+        ceil_s = f"{ceil['ceiling']:.3f}" if ceil.get("ceiling") else "n/a"
+        norm_s = f"**{norm:.2f}**" if norm is not None else "n/a"
+        md += f"""### Run {i + 1} (ceiling {ceil_s})
 
 | parallelism | images | signature s | block+verify s | images/sec | cold-run s | CC s (separate) |
 |---|---|---|---|---|---|---|
 | local[8]  (N)  | {r8["n_images"]} | {r8["sig_sec"]} | {r8["block_sec"]} | {r8["images_per_sec"]} | {r8["cold_sec"]} | {r8["cc_sec"]} |
 | local[32] (4N) | {r32["n_images"]} | {r32["sig_sec"]} | {r32["block_sec"]} | {r32["images_per_sec"]} | {r32["cold_sec"]} | {r32["cc_sec"]} |
 
-- speedup **{sp:.2f}x**, raw {eff:.2f}, normalized **{norm:.2f}**
+- speedup **{sp:.2f}x**, raw {eff:.2f}, normalized {norm_s}
 - per-rep block spread: local[8] {[x["block"] for x in r8["reps"]]} s,
   local[32] {[x["block"] for x in r32["reps"]]} s
 - raw: `{json.dumps({k: v for k, v in r8.items() if k != "reps"})}` /
@@ -534,11 +540,13 @@ candidates only).
         if len(state["substr"]) == 2:
             lo, hi = (state["substr"][k] for k in sorted(state["substr"], key=int))
             sp = hi["docs_per_sec"] / lo["docs_per_sec"]
-            last_ceil = runs[-1]["ceiling"]["ceiling"]
+            last_ceil = runs[-1]["ceiling"].get("ceiling")
+            norm_sub = f"~{sp / 4 / last_ceil:.2f}" if last_ceil else "n/a"
+            ceil_sub = f"{last_ceil:.3f}" if last_ceil else "n/a"
             md += f"""
 - speedup 8->32: **{sp:.2f}x**, raw efficiency {sp / 4:.2f}, normalized
-  ~{sp / 4 / last_ceil:.2f} against the nearest-in-time run ceiling
-  ({last_ceil:.3f})
+  {norm_sub} against the nearest-in-time run ceiling
+  ({ceil_sub})
 - pair counts identical at both levels: {lo["n_pairs"] == hi["n_pairs"]}
 - per-rep spread: local[8] spans {[x["spans"] for x in lo["reps"]]} s /
   pairs {[x["pairs"] for x in lo["reps"]]} s; local[32] spans
@@ -578,7 +586,12 @@ def main() -> None:
         state["runs"].append({"ceiling": ceil, "r8": r8, "r32": r32})
         _save_state(state)
         write_bench_md(state, reps)
-        print(f"run {i} done: norm_eff={_run_block(state['runs'][-1])[2]:.2f}", flush=True)
+        norm = _run_block(state["runs"][-1])[2]
+        print(
+            f"run {i} done: norm_eff="
+            + (f"{norm:.2f}" if norm is not None else "n/a"),
+            flush=True,
+        )
 
     for cores in (8, 32):
         if str(cores) not in state["substr"]:

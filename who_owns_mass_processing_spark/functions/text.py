@@ -90,7 +90,10 @@ def bpe_token_count(col: Column) -> Column:
     needing a vocab file — the standard budget heuristic for training-
     data accounting.  Pure JVM regexp (codegen'd), no UDF."""
     pieces = F.regexp_extract_all(col, F.lit(BPE_SPLIT_RE), 0)
-    return F.size(F.filter(pieces, lambda p: F.length(F.trim(p)) > 0))
+    # rlike(\S), not length(trim(p)) > 0: Spark's trim strips only the
+    # space character, so "\t"/"\n" pieces would survive and diverge
+    # from the oracle's regexp_matches(p, '\S') semantics.
+    return F.size(F.filter(pieces, lambda p: p.rlike(r"\S")))
 
 
 def winnow_fingerprints(col: Column, k: int = 5, w: int = 4) -> Column:

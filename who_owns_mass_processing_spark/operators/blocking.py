@@ -132,7 +132,7 @@ def candidate_pairs(
     # the unpruned 206M-row census was mis-broadcast and blew
     # spark.driver.maxResultSize).  The inner join doubles as the
     # singleton filter.
-    sizes = bucket_sizes(bands_df)  # lazy full census — feeds metrics only
+    sizes = bucket_sizes(bands_df)
     census = sizes.where(F.col("bucket_n") >= 2).localCheckpoint(eager=True)
 
     tagged = bands_df.join(census, ["band_id", "band_hash"]).where(
@@ -182,12 +182,14 @@ def candidate_pairs(
         .drop("_one")
     )
 
-    # metrics stay on the FULL census (singletons count as "kept"); lazy
-    # by design — the caller pays one census recompute only when it
-    # materializes the skew table, instead of every call checkpointing a
-    # corpus-sized bucket list
-    metrics = (
-        sizes.select(
+    # metrics reuse the CHECKPOINTED dup census (no second banding
+    # aggregation — round 3 recomputed the full census from bands_df
+    # whenever the caller materialized the skew table, so the pipeline
+    # paid banding twice per stage).  Singleton buckets (all "kept")
+    # are reconstructed arithmetically: one shuffle-free count over
+    # bands_df, minus the dup census's row total.
+    dup_classes = (
+        census.select(
             F.when(F.col("bucket_n") > hard_cap, F.lit("dropped_stop_band"))
             .when(F.col("bucket_n") > cap, F.lit("salted"))
             .otherwise(F.lit("kept"))
@@ -199,6 +201,30 @@ def candidate_pairs(
             F.count("*").alias("buckets"),
             F.sum("bucket_n").alias("rows"),
             F.max("bucket_n").alias("max_bucket"),
+        )
+    )
+    total = bands_df.select(F.count("*").alias("_total"))
+    dup_total = census.select(
+        F.coalesce(F.sum("bucket_n"), F.lit(0)).alias("_dup")
+    )
+    singletons = (
+        total.crossJoin(dup_total)
+        .select((F.col("_total") - F.col("_dup")).alias("_n"))
+        .where(F.col("_n") > 0)
+        .select(
+            F.lit("kept").alias("bucket_class"),
+            F.col("_n").alias("buckets"),
+            F.col("_n").alias("rows"),
+            F.lit(1).cast("long").alias("max_bucket"),
+        )
+    )
+    metrics = (
+        dup_classes.unionByName(singletons)
+        .groupBy("bucket_class")
+        .agg(
+            F.sum("buckets").alias("buckets"),
+            F.sum("rows").alias("rows"),
+            F.max("max_bucket").alias("max_bucket"),
         )
     )
     return pairs, metrics

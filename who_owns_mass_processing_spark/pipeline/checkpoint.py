@@ -150,8 +150,24 @@ class StageCatalog:
         them was recomputed in this run, the cached copy of THIS stage
         is stale (it was derived from different input data) and is
         recomputed too — the stale-downstream hazard the config
-        fingerprint cannot catch."""
+        fingerprint cannot catch.
+
+        Staleness is DURABLE, not just process-local: a stage is also
+        stale when any upstream's manifest snapshot_id is newer than its
+        own.  Snapshot ids are monotonic, so a refresh run killed after
+        an upstream's write but before this stage's write leaves the
+        upstream with a higher id — a later plain resume then recomputes
+        this stage instead of silently serving output derived from the
+        OLD upstream data (ADVICE r3: the in-process computed_this_run
+        set alone loses the cascade across a crash)."""
         force = refresh or any(u in self.computed_this_run for u in upstream)
+        if not force and self.is_complete(stage):
+            my_snap = self._manifest["stages"][stage]["snapshot_id"]
+            for u in upstream:
+                u_entry = self._manifest["stages"].get(u)
+                if u_entry is None or u_entry["snapshot_id"] > my_snap:
+                    force = True
+                    break
         if not force and self.is_complete(stage):
             return self.read(stage)
         self.computed_this_run.add(stage)
@@ -160,6 +176,18 @@ class StageCatalog:
     def invalidate(self, stage: str) -> None:
         self._manifest["stages"].pop(stage, None)
         self._save_manifest()
+
+    def supersede(self, stage: str) -> None:
+        """Retire a stage name the pipeline no longer produces (e.g. a
+        schema-versioned rename left `<stage>` behind when `<stage>_v2`
+        took over): drop the manifest entry AND the data directory, so
+        lineage() never emits the stale row alongside the successor's
+        on a pre-existing workdir."""
+        import shutil
+
+        if stage in self._manifest["stages"]:
+            self.invalidate(stage)
+        shutil.rmtree(self._stage_path(stage), ignore_errors=True)
 
     def lineage(self) -> list[dict]:
         """Stage lineage rows (stage, snapshot_id, rows, schema) — written

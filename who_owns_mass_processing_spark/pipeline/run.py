@@ -311,7 +311,10 @@ def run_pipeline(
     # (partition_id int -> src_file string); an unversioned name would
     # silently resume the old-schema checkpoint on a pre-existing
     # workdir.  Convention: bump the suffix whenever a stage's schema
-    # changes without a config change.
+    # changes without a config change — and retire the old name so a
+    # pre-existing workdir's lineage table does not carry a stale v1
+    # row forever (ADVICE r3).
+    cat.supersede("partition_metrics")
     partition_metrics = roc("partition_metrics_v2", _partition_metrics)
 
     def _metrics() -> DataFrame:
