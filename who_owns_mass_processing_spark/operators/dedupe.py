@@ -243,6 +243,164 @@ def ngram_containment_pairs(
     )
 
 
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    cap: int = 500,
+    hard_cap: int = 100000,
+) -> tuple[DataFrame, DataFrame]:
+    """Winnowing-fingerprint pair detection (block-then-verify): the
+    downstream consumer of `T.winnow_fingerprints` (round 3 stopped at
+    the exploded fingerprint table).  Docs sharing >= 1 winnow
+    fingerprint become candidates through the salted/capped blocking
+    machinery; candidates are verified EXACTLY by intersecting the two
+    docs' full fingerprint arrays (small: ~n/w picks per doc, and
+    per-doc picks are distinct, so join-count == intersect size).
+
+    Returns (pairs(a, b, n_shared), skew_metrics) with n_shared =
+    distinct shared fingerprints >= min_shared.  Recall contract: any
+    pair with n_shared >= 1 shares a fingerprint bucket, so it is a
+    candidate unless every shared fingerprint's bucket exceeded
+    hard_cap (stop grams — counted in the metrics).  Winnowing's own
+    guarantee (Schleimer et al.): any shared run of >= w+k-1 chars
+    yields >= 1 shared fingerprint.
+
+    Reference analog: block on a derived key, verify exactly
+    (R/deduplicaters.R:313-359 blocks on standardized names, verifies
+    with exact cosine)."""
+    fps = (
+        df.select(
+            F.col(id_col),
+            T.winnow_fingerprints(F.col(text_col), k=k, w=w).alias("_fps"),
+        )
+        .where(F.size("_fps") > 0)
+        .localCheckpoint(eager=True)  # feeds banding AND the verify join
+    )
+    bands = fps.select(
+        F.col(id_col),
+        F.lit(0).alias("band_id"),
+        F.explode("_fps").alias("_g"),
+    ).select(id_col, "band_id", F.xxhash64("_g").alias("band_hash"))
+    cands, metrics = candidate_pairs(bands, id_col, cap=cap, hard_cap=hard_cap)
+    fa = fps.select(F.col(id_col).alias("a"), F.col("_fps").alias("_fa"))
+    fb = fps.select(F.col(id_col).alias("b"), F.col("_fps").alias("_fb"))
+    pairs = (
+        cands.join(fa, "a")
+        .join(fb, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("_fa", "_fb")).cast("long").alias("n_shared"),
+        )
+        .where(F.col("n_shared") >= F.lit(int(min_shared)))
+    )
+    return pairs, metrics
+
+
+def containment_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cfg: DedupeConfig,
+    threshold: float = 0.9,
+    max_size_ratio: float = 4.0,
+    min_recall: float = 1 - 1e-9,
+) -> tuple[DataFrame, DataFrame]:
+    """Scale path for asymmetric shingle containment — the runnable twin
+    of `ngram_containment_pairs` (which is an O(n^2) oracle).
+
+    Containment c = |Sa∩Sb|/|Sa| relates to Jaccard via
+    J = c / (|Sb|/|Sa| + 1 - c), so any ordered pair with c >= threshold
+    and size ratio |Sb|/|Sa| <= max_size_ratio has
+    J >= threshold / (1 + max_size_ratio - threshold).  Banding is
+    solved (solve_bands) for `min_recall` at that Jaccard floor; exact
+    asymmetric containment (array_intersect over shingle-code arrays)
+    verifies candidates in BOTH directions, so emitted rows are exact.
+    Pairs beyond the size-ratio bound are out of contract: covering
+    ratio r costs r-fold looser banding, and at web scale verbatim
+    doc-in-doc containment is the substring tier's job
+    (operators/substrings.py — an embedded doc is one long shared span).
+
+    Identical-text members ride the exact-fingerprint tier (ordered
+    within-group pairs at containment 1.0, rep pairs expanded to
+    members) — LSH never sees the duplicate multiplicity, same as
+    `lsh_near_dup_pairs`.
+
+    Skew note: the corpus-fraction stop-band threshold the Jaccard tier
+    uses is WRONG here — a low mapped floor (e.g. c=0.9, r_max=4 =>
+    J >= 0.22) forces r=1 banding, where a hub document contained in
+    many others legitimately shares a single-minhash bucket with its
+    whole containment family.  Dropping that bucket as a "degenerate
+    stop band" drops exactly the signal (measured: 9 true pairs of one
+    hub doc lost at sf0.01).  So the drop threshold is the ABSOLUTE
+    hard cap; bucket cost stays bounded by salting (cap x cells).
+
+    Returns (pairs(a, b, containment), skew_metrics), ordered a != b.
+    """
+    from who_owns_mass_processing_spark.functions.lsh_params import solve_bands
+
+    j_floor = threshold / (1.0 + max_size_ratio - threshold)
+    n_bands, n_rows = solve_bands(cfg.num_perm, j_floor, min_recall)
+
+    sigs = minhash_signatures(df, id_col, text_col, cfg)
+    reps = sigs.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    rep_sigs = sigs.join(reps, [id_col, "fingerprint"], "left_semi").localCheckpoint(
+        eager=True
+    )
+    bands = band_explode(rep_sigs, "minhash", id_col, n_bands, n_rows)
+    cands, metrics = candidate_pairs(
+        bands, id_col, cap=cfg.band_bucket_cap, hard_cap=cfg.band_bucket_hard_cap
+    )
+    ca = rep_sigs.select(F.col(id_col).alias("a"), F.col("codes").alias("_ca"))
+    cb = rep_sigs.select(F.col(id_col).alias("b"), F.col("codes").alias("_cb"))
+    joined = (
+        cands.join(ca, "a")
+        .join(cb, "b")
+        .select(
+            "a", "b", "_ca", "_cb",
+            F.size(F.array_intersect("_ca", "_cb")).cast("double").alias("_inter"),
+        )
+    )
+    fwd = joined.where(F.size("_ca") > 0).select(
+        F.col("a").alias("ra"), F.col("b").alias("rb"),
+        F.round(F.col("_inter") / F.size("_ca").cast("double"), 6).alias("containment"),
+    )
+    bwd = joined.where(F.size("_cb") > 0).select(
+        F.col("b").alias("ra"), F.col("a").alias("rb"),
+        F.round(F.col("_inter") / F.size("_cb").cast("double"), 6).alias("containment"),
+    )
+    rep_hits = fwd.unionByName(bwd).where(F.col("containment") >= threshold)
+    # expand rep-level verdicts to members (identical text => identical
+    # shingle sets => identical containment) + ordered within-group pairs
+    groups = sigs.select(F.col(id_col), "fingerprint")
+    fp = rep_sigs.select(F.col(id_col), "fingerprint")
+    expanded = (
+        rep_hits.join(fp.select(F.col(id_col).alias("ra"), F.col("fingerprint").alias("_fa")), "ra")
+        .join(fp.select(F.col(id_col).alias("rb"), F.col("fingerprint").alias("_fb")), "rb")
+        .join(groups.select(F.col(id_col).alias("a"), F.col("fingerprint").alias("_fa")), "_fa")
+        .join(groups.select(F.col(id_col).alias("b"), F.col("fingerprint").alias("_fb")), "_fb")
+        .select("a", "b", "containment")
+    )
+    ga = groups.select(F.col(id_col).alias("a"), "fingerprint")
+    gb = groups.select(F.col(id_col).alias("b"), "fingerprint")
+    # empty-shingle docs are excluded (containment undefined) — their
+    # fingerprint is that of empty normalized text, detected via codes
+    nonempty = sigs.where(F.size("codes") > 0).select(
+        F.col(id_col).alias("a")
+    )
+    within = (
+        ga.join(gb, "fingerprint")
+        .where(F.col("a") != F.col("b"))
+        .join(nonempty, "a", "left_semi")
+        .select("a", "b", F.lit(1.0).alias("containment"))
+    )
+    return expanded.unionByName(within).distinct(), metrics
+
+
 def simhash_near_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, radius: int = 3, n_bands: int = 4
 ) -> DataFrame:
