@@ -314,12 +314,25 @@ def run_interleaved(n_base: int, reps: int) -> tuple[dict, dict]:
     round-3 confound: sequential-level runs measured the two levels ~20
     minutes apart on a host whose throughput drifts 2-3x between
     windows (BENCH.md forensics).  Ceiling methodology unchanged; only
-    the rep SCHEDULING changes.  Memory: two drivers at 24g + off-heap
-    fit the 125 GiB host."""
+    the rep SCHEDULING changes.
+
+    Memory: each worker gets 30g heap + 20g OFF-HEAP (overridable via
+    SCALING_DRIVER_MEM / SCALING_OFFHEAP).  The first r4 attempt
+    hardcoded 24g heap and inherited the 8g off-heap default — at 32
+    threads that reproduces the GCLocker/humongous-allocation slow
+    mode the non-interleaved benches avoid with big off-heap (symptom:
+    block phase 116-143s at local[32] vs 57-67s in round 3's good
+    windows, while the 8-thread level was unaffected).  Strict
+    alternation means only one JVM is active at a time, so 2 x 50g
+    commit fits the 125 GiB host."""
     import tempfile
 
     coord = tempfile.mkdtemp(prefix="scaling_interleave_")
-    env = dict(os.environ, SPARK_DRIVER_MEM="24g")
+    env = dict(
+        os.environ,
+        SPARK_DRIVER_MEM=os.environ.get("SCALING_DRIVER_MEM", "30g"),
+        SPARK_GRAFT_OFFHEAP=os.environ.get("SCALING_OFFHEAP", "20g"),
+    )
     procs = {
         c: subprocess.Popen(
             [sys.executable, "-c", INTERLEAVED_WORKER % {"repo": REPO},
@@ -392,7 +405,11 @@ def machine_ceiling(lo: int = 8, hi: int = 32, work: int = 20_000_000) -> dict:
 
 
 def run_worker(script: str, cores: int, size: int, reps: int) -> dict:
-    env = dict(os.environ, SPARK_DRIVER_MEM="48g")
+    env = dict(
+        os.environ,
+        SPARK_DRIVER_MEM="48g",
+        SPARK_GRAFT_OFFHEAP=os.environ.get("SPARK_GRAFT_OFFHEAP", "24g"),
+    )
     out = subprocess.run(
         [sys.executable, "-c", script % {"repo": REPO}, str(cores), str(size), str(reps)],
         stdout=subprocess.PIPE, stderr=sys.stderr, text=True, cwd=REPO, timeout=7200, env=env,
@@ -459,10 +476,15 @@ between reps so later reps measure the job, not accumulated GC
 pressure.  Connected components is reported separately (its
 per-iteration driver sync is latency-bound, not throughput-bound).
 
-Round 3 runs the COMPLETE protocol {len(runs)} times end to end (round 2
-ran it twice and its Run B median caught a still-warming rep; the judge
-asked for a third execution — per-run normalized efficiencies and their
-median are the headline now).
+Round 4 runs the INTERLEAVED protocol (SCALING_INTERLEAVE=1): both
+levels' JVMs stay alive for the whole run and reps alternate
+8,32,8,32,... via a file-token ping-pong — strictly one JVM active at a
+time — so the two levels sample ADJACENT host windows.  This removes
+the round-3 confound (sequential levels measured ~20 minutes apart on a
+host whose pure-CPU ceiling itself drifted ±15% between windows;
+round-3 forensics attributed its 0.44 median to exactly this).  Same
+measured section, same warm-up/GC discipline; only rep SCHEDULING
+changed.
 
 ## Hardware ceiling (what "4x cores" actually delivers here)
 
