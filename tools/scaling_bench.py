@@ -206,170 +206,71 @@ print(json.dumps({
 """
 
 
-INTERLEAVED_WORKER = r"""
-import gc, json, os, sys, time
-sys.path.insert(0, %(repo)r)
-cores = int(sys.argv[1]); n_base = int(sys.argv[2]); reps = int(sys.argv[3])
-coord = sys.argv[4]
-from pyspark.sql import functions as F
-from bench import ensure_bench_images_parallel
-from who_owns_mass_processing_spark.session import get_spark
-from who_owns_mass_processing_spark.config import DedupeConfig
-from who_owns_mass_processing_spark.functions.images import image_meta_udf, phash_combo_bands
-from who_owns_mass_processing_spark.operators.blocking import hamming_pairs
-from who_owns_mass_processing_spark.operators.connected_components import connected_components
-from who_owns_mass_processing_spark.operators.dedupe import (
-    exact_fingerprint_edges, minhash_signatures, rep_pairs_from_sigs)
-from who_owns_mass_processing_spark.operators.verify import verify_psnr
+def run_alternating(n_base: int, reps: int) -> tuple[dict, dict]:
+    """Round-4 protocol (SCALING_INTERLEAVE=1): the two parallelism
+    levels run as ALTERNATING, fresh, one-at-a-time JVMs — unit order
+    8,32,8,32,... where each unit is its own worker subprocess running
+    one full discarded warm-up plus ONE measured rep, then exiting.
 
-cfg = DedupeConfig()
-spark = get_spark(cores=cores, shuffle_partitions=2 * cores)
-spark.sparkContext.setLogLevel("ERROR")
-images = spark.read.parquet(ensure_bench_images_parallel(n_base))
-n = images.count()
+    Rationale (both r3 and the first two r4 attempts informed this):
 
-def one_run():
-    t = {}
-    t0 = time.time()
-    meta = image_meta_udf()
-    ingested = images.select(
-        "image_id", "fmt", "caption",
-        meta(F.col("bytes")).alias("m"),
-        F.sha2(F.col("bytes"), 256).alias("byte_fp"),
-    ).select("image_id", "fmt", "caption", F.col("m.phash").alias("phash"), "byte_fp")
-    ingested = ingested.localCheckpoint(eager=True)
-    sigs = minhash_signatures(ingested, "image_id", "caption", cfg)
-    sigs = sigs.join(ingested.select("image_id", "phash", "byte_fp"), "image_id")
-    sigs = sigs.localCheckpoint(eager=True)
-    t["sig"] = time.time() - t0
-    t0 = time.time()
-    stop = cfg.stop_band_threshold(n)
-    cap_rep_pairs, _ = rep_pairs_from_sigs(sigs, "image_id", cfg, corpus_rows=n)
-    cap_edges = cap_rep_pairs.select("a", "b").unionByName(
-        exact_fingerprint_edges(sigs, "image_id").select("a", "b"))
-    byte_reps = sigs.groupBy("byte_fp").agg(F.min("image_id").alias("image_id"))
-    reps_df = sigs.join(byte_reps, ["image_id", "byte_fp"], "left_semi")
-    img_bands = phash_combo_bands(reps_df, "phash", "image_id",
-                                  cfg.phash_bands, cfg.hamming_radius)
-    img_ok_pairs, _ = hamming_pairs(img_bands, "image_id", "phash",
-                                    cfg.hamming_radius, cfg.band_bucket_cap, stop)
-    img_ok = verify_psnr(img_ok_pairs.select("a", "b"), images.select("image_id", "bytes", "fmt"),
-                         "image_id", "bytes", "fmt", cfg.psnr_min_db)
-    byte_star = sigs.join(byte_reps.withColumnRenamed("image_id", "a"), "byte_fp").where(
-        F.col("image_id") != F.col("a")).select("a", F.col("image_id").alias("b"))
-    edges = (cap_edges.unionByName(img_ok.select("a", "b"))
-             .unionByName(byte_star).distinct().localCheckpoint(eager=True))
-    t["edges"] = edges.count()
-    t["block"] = time.time() - t0
-    t0 = time.time()
-    cc = connected_components(edges)
-    cc.write.format("noop").mode("overwrite").save()
-    t["cc"] = time.time() - t0
-    return t
+    * Temporal adjacency: round 3 measured the two levels ~20 minutes
+      apart on a host whose pure-CPU ceiling drifted +/-15% between
+      windows; its 0.44 median normalized efficiency tracked that
+      drift, not the job.  Alternating units put every local[8] rep
+      next to a local[32] rep in time.
+    * One JVM at a time, fresh per unit: the first r4 design kept both
+      levels' JVMs alive and ping-ponged reps between them via file
+      tokens.  On the post-reset host that configuration collapsed
+      (8-thread signature phase 1938s vs 140s in r3 — kernel-time
+      storms in pread64/filemap_read with near-zero user time).
+      Controlled single-JVM probes on the same host isolated the big
+      COMMITTED heap as the trigger, not dual residency per se:
+      sig-phase over the full 1.4M corpus at local[8] took 168s at
+      8g heap + 8g off-heap but did not finish in 600s at 48g + 24g
+      (spark sets -Xms=-Xmx for local drivers, so driver.memory is
+      committed up front).  Fresh default-memory JVMs per unit avoid
+      both failure modes and cost only JIT/codegen warm-up, which the
+      in-unit warm-up run pays explicitly for BOTH levels alike.
+    * Measurement semantics are unchanged: per level the reported
+      figure is still the median of `reps` measured repetitions, each
+      preceded by a warm-up in its own JVM; cold_sec is the median
+      warm-up wall time (one-time costs a real cluster amortizes).
 
-def cleanup():
-    gc.collect()
-    spark.sparkContext._jvm.System.gc()
-    time.sleep(2)
-
-def wait_for(path, timeout=3600):
-    t0 = time.time()
-    while not os.path.exists(path):
-        if time.time() - t0 > timeout:
-            raise RuntimeError("coordination timeout waiting for " + path)
-        time.sleep(0.5)
-
-# warm-up rep is ALSO token-gated so the two JVMs never overlap
-wait_for(os.path.join(coord, f"go_{cores}_warm"))
-cold = one_run()
-cleanup()
-open(os.path.join(coord, f"done_{cores}_warm"), "w").write(
-    json.dumps({k: round(v, 2) for k, v in cold.items()}))
-runs = []
-for r in range(reps):
-    wait_for(os.path.join(coord, f"go_{cores}_{r}"))
-    res = one_run()
-    cleanup()
-    runs.append(res)
-    open(os.path.join(coord, f"done_{cores}_{r}"), "w").write(
-        json.dumps({k: round(v, 2) for k, v in res.items()}))
-
-med = lambda key: sorted(r[key] for r in runs)[len(runs) // 2]
-core_sec = med("sig") + med("block")
-print(json.dumps({
-    "cores": cores, "n_images": n, "edges": runs[0]["edges"],
-    "cold_sec": round(cold["sig"] + cold["block"], 2),
-    "sig_sec": round(med("sig"), 2), "block_sec": round(med("block"), 2),
-    "cc_sec": round(med("cc"), 2),
-    "images_per_sec": round(n / core_sec, 2),
-    "reps": [{k: round(v, 2) for k, v in r.items()} for r in runs],
-}))
-"""
-
-
-def run_interleaved(n_base: int, reps: int) -> tuple[dict, dict]:
-    """Round-4 protocol (SCALING_INTERLEAVE=1): both parallelism levels'
-    JVMs stay alive and reps ALTERNATE 8,32,8,32,... via a file-token
-    ping-pong, so both levels sample adjacent host windows.  Fixes the
-    round-3 confound: sequential-level runs measured the two levels ~20
-    minutes apart on a host whose throughput drifts 2-3x between
-    windows (BENCH.md forensics).  Ceiling methodology unchanged; only
-    the rep SCHEDULING changes.
-
-    Memory: each worker gets 30g heap + 20g OFF-HEAP (overridable via
-    SCALING_DRIVER_MEM / SCALING_OFFHEAP).  The first r4 attempt
-    hardcoded 24g heap and inherited the 8g off-heap default — at 32
-    threads that reproduces the GCLocker/humongous-allocation slow
-    mode the non-interleaved benches avoid with big off-heap (symptom:
-    block phase 116-143s at local[32] vs 57-67s in round 3's good
-    windows, while the 8-thread level was unaffected).  Strict
-    alternation means only one JVM is active at a time, so 2 x 50g
-    commit fits the 125 GiB host."""
-    import tempfile
-
-    coord = tempfile.mkdtemp(prefix="scaling_interleave_")
-    env = dict(
-        os.environ,
-        SPARK_DRIVER_MEM=os.environ.get("SCALING_DRIVER_MEM", "30g"),
-        SPARK_GRAFT_OFFHEAP=os.environ.get("SCALING_OFFHEAP", "20g"),
+    Memory: SCALING_DRIVER_MEM / SCALING_OFFHEAP, default 8g/8g (the
+    session defaults — measured fast on this host; see above)."""
+    mem = (
+        os.environ.get("SCALING_DRIVER_MEM", "8g"),
+        os.environ.get("SCALING_OFFHEAP", "8g"),
     )
-    procs = {
-        c: subprocess.Popen(
-            [sys.executable, "-c", INTERLEAVED_WORKER % {"repo": REPO},
-             str(c), str(n_base), str(reps), coord],
-            stdout=subprocess.PIPE, stderr=sys.stderr, text=True, cwd=REPO, env=env,
-        )
-        for c in (8, 32)
-    }
+    units: dict[int, list[dict]] = {8: [], 32: []}
+    for r in range(reps):
+        for c in (8, 32):
+            print(f"  unit rep{r} local[{c}] ...", flush=True)
+            t0 = __import__("time").time()
+            u = run_worker(WORKER, c, n_base, 1, mem=mem)
+            units[c].append(u)
+            print(
+                f"  unit rep{r} local[{c}]: sig={u['sig_sec']} block={u['block_sec']} "
+                f"cold={u['cold_sec']} wall={__import__('time').time() - t0:.0f}s",
+                flush=True,
+            )
 
-    def release(cores: int, tag: str) -> None:
-        open(os.path.join(coord, f"go_{cores}_{tag}"), "w").write("go")
+    def agg(us: list[dict]) -> dict:
+        med = lambda key: sorted(u[key] for u in us)[len(us) // 2]
+        all_reps = [u["reps"][0] for u in us]
+        core_sec = med("sig_sec") + med("block_sec")
+        return {
+            "cores": us[0]["cores"], "n_images": us[0]["n_images"],
+            "edges": us[0]["edges"],
+            "cold_sec": med("cold_sec"),
+            "sig_sec": med("sig_sec"), "block_sec": med("block_sec"),
+            "cc_sec": med("cc_sec"),
+            "images_per_sec": round(us[0]["n_images"] / core_sec, 2),
+            "reps": all_reps,
+        }
 
-    def await_done(cores: int, tag: str, timeout: float = 3600) -> None:
-        import time as _t
-
-        path = os.path.join(coord, f"done_{cores}_{tag}")
-        t0 = _t.time()
-        while not os.path.exists(path):
-            if procs[cores].poll() is not None:
-                raise RuntimeError(f"worker {cores} died before {tag}")
-            if _t.time() - t0 > timeout:
-                raise RuntimeError(f"timeout on worker {cores} {tag}")
-            _t.sleep(1)
-
-    for tag in ["warm"] + [str(r) for r in range(reps)]:
-        for c in (8, 32):  # strict alternation, never concurrent
-            release(c, tag)
-            await_done(c, tag)
-
-    out = {}
-    for c, p in procs.items():
-        stdout, _ = p.communicate(timeout=600)
-        lines = [ln for ln in stdout.strip().splitlines() if ln.startswith("{")]
-        if not lines:
-            raise RuntimeError(f"interleaved worker {c} produced no result")
-        out[c] = json.loads(lines[-1])
-    return out[8], out[32]
+    return agg(units[8]), agg(units[32])
 
 
 def _burn(n: int) -> float:
@@ -404,11 +305,23 @@ def machine_ceiling(lo: int = 8, hi: int = 32, work: int = 20_000_000) -> dict:
     return out
 
 
-def run_worker(script: str, cores: int, size: int, reps: int) -> dict:
+def run_worker(
+    script: str, cores: int, size: int, reps: int,
+    mem: tuple[str, str] | None = None,
+) -> dict:
+    """mem = (driver_mem, offheap).  Default 8g/8g: spark sets
+    -Xms=-Xmx for local drivers, and on this host a large COMMITTED
+    heap collapses the payload scan (measured: full-corpus sig phase
+    168s at 8g vs >600s at 48g — see run_alternating docstring)."""
+    if mem is None:
+        mem = (
+            os.environ.get("SCALING_DRIVER_MEM", "8g"),
+            os.environ.get("SCALING_OFFHEAP", "8g"),
+        )
     env = dict(
         os.environ,
-        SPARK_DRIVER_MEM="48g",
-        SPARK_GRAFT_OFFHEAP=os.environ.get("SPARK_GRAFT_OFFHEAP", "24g"),
+        SPARK_DRIVER_MEM=mem[0],
+        SPARK_GRAFT_OFFHEAP=mem[1],
     )
     out = subprocess.run(
         [sys.executable, "-c", script % {"repo": REPO}, str(cores), str(size), str(reps)],
@@ -476,15 +389,20 @@ between reps so later reps measure the job, not accumulated GC
 pressure.  Connected components is reported separately (its
 per-iteration driver sync is latency-bound, not throughput-bound).
 
-Round 4 runs the INTERLEAVED protocol (SCALING_INTERLEAVE=1): both
-levels' JVMs stay alive for the whole run and reps alternate
-8,32,8,32,... via a file-token ping-pong — strictly one JVM active at a
-time — so the two levels sample ADJACENT host windows.  This removes
-the round-3 confound (sequential levels measured ~20 minutes apart on a
-host whose pure-CPU ceiling itself drifted ±15% between windows;
-round-3 forensics attributed its 0.44 median to exactly this).  Same
-measured section, same warm-up/GC discipline; only rep SCHEDULING
-changed.
+Round 4 runs the ALTERNATING protocol (SCALING_INTERLEAVE=1): units
+run 8,32,8,32,... where each unit is a FRESH one-at-a-time JVM doing
+one discarded warm-up plus one measured rep, so the two levels sample
+ADJACENT host windows.  This removes the round-3 confound (sequential
+levels measured ~20 minutes apart on a host whose pure-CPU ceiling
+itself drifted ±15% between windows; round-3 forensics attributed its
+0.44 median to exactly this).  Workers run at the session-default
+8g heap + 8g off-heap: spark commits -Xms=-Xmx for local drivers, and
+on this host a large committed heap collapses the payload scan into
+kernel-time page-fault storms (measured: full-corpus signature phase
+168s at 8g vs >600s at 48g+24g at local[8]; the first r4 attempt's
+dual-resident 30g+20g JVMs hit the same cliff at 722 images/sec).
+Same measured section, same warm-up/GC discipline as round 3; only
+rep SCHEDULING and worker memory changed.
 
 ## Hardware ceiling (what "4x cores" actually delivers here)
 
@@ -601,7 +519,7 @@ def main() -> None:
         print(f"=== full run {i}/{n_runs} (interleave={interleave})", flush=True)
         ceil = machine_ceiling()
         if interleave:
-            r8, r32 = run_interleaved(n_base, reps)
+            r8, r32 = run_alternating(n_base, reps)
         else:
             r8 = run_worker(WORKER, 8, n_base, reps)
             r32 = run_worker(WORKER, 32, n_base, reps)
