@@ -232,6 +232,11 @@ def run_alternating(n_base: int, reps: int) -> tuple[dict, dict]:
       committed up front).  Fresh default-memory JVMs per unit avoid
       both failure modes and cost only JIT/codegen warm-up, which the
       in-unit warm-up run pays explicitly for BOTH levels alike.
+      The complementary fix lives in synth.py: the corpus is written
+      with 1024-row (~15 MB) parquet row groups, because a scan task
+      buffers one whole row-group column chunk on heap — pyarrow's
+      default ~150 MB groups put ~5 GB of transient chunk buffers on
+      32 concurrent tasks and OOMed the local[32] level at 8-16 g.
     * Measurement semantics are unchanged: per level the reported
       figure is still the median of `reps` measured repetitions, each
       preceded by a warm-up in its own JVM; cold_sec is the median
@@ -396,13 +401,16 @@ ADJACENT host windows.  This removes the round-3 confound (sequential
 levels measured ~20 minutes apart on a host whose pure-CPU ceiling
 itself drifted ±15% between windows; round-3 forensics attributed its
 0.44 median to exactly this).  Workers run at the session-default
-8g heap + 8g off-heap: spark commits -Xms=-Xmx for local drivers, and
-on this host a large committed heap collapses the payload scan into
-kernel-time page-fault storms (measured: full-corpus signature phase
-168s at 8g vs >600s at 48g+24g at local[8]; the first r4 attempt's
-dual-resident 30g+20g JVMs hit the same cliff at 722 images/sec).
-Same measured section, same warm-up/GC discipline as round 3; only
-rep SCHEDULING and worker memory changed.
+8g heap + 8g off-heap — identical TOTAL memory at both levels, which
+if anything penalizes the 4N level (a real 4N-executor cluster carries
+4x the memory).  Two host findings shaped this (SCALE.md "Round-4
+addendum"): a large committed heap collapses the payload scan on this
+VM (sig phase 168s at 8g vs >600s at 48g, same job), and the corpus is
+written with 1024-row (~15 MB) parquet row groups so 32 concurrent
+scan tasks hold ~1 GB of chunk buffers instead of ~5 GB (pyarrow
+default groups OOMed the 32-thread level at any sane heap).  Same
+measured section, same warm-up/GC discipline as round 3; only rep
+SCHEDULING, worker memory, and corpus row-group layout changed.
 
 ## Hardware ceiling (what "4x cores" actually delivers here)
 

@@ -69,6 +69,21 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        # Vectorized parquet reader batch: the default 4096 rows means a
+        # scan task holds ~400 MB of column vectors when rows carry a
+        # ~100 KB `bytes` payload — at 32 concurrent tasks that is
+        # ~12.8 GB of transient scan buffers and the executor OOMs long
+        # before Tungsten accounting sees a byte (measured on the 1.4M
+        # image corpus: local[32] at 8 g heap dies in the scan stage;
+        # round-3 only survived by giving workers 48 g).  256 rows caps
+        # scan buffers at ~25 MB/task (~1 GB at 32 tasks) and costs
+        # nothing measurable on narrow tables.  Same philosophy as the
+        # small Arrow batch above: batch *bytes*, not batch rows, is the
+        # invariant when a binary payload column is in flight.
+        .config(
+            "spark.sql.parquet.columnarReaderBatchSize",
+            os.environ.get("SPARK_GRAFT_READER_BATCH", "256"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # Tungsten execution memory off-heap: on-heap task pages are 64 MB

@@ -291,7 +291,17 @@ def _gen_chunk(args: tuple) -> tuple:
         ]
     )
     ip = os.path.join(out_dir, "images.parquet", f"part-{chunk_idx:04d}.parquet")
-    pq.write_table(pa.Table.from_pandas(images, schema=schema, preserve_index=False), ip)
+    # Small row groups for the bytes-heavy table: a scan task buffers one
+    # whole row-group column chunk on heap, so row-group size bounds
+    # per-task scan memory.  Default pyarrow groups made ~150 MB chunks;
+    # at 32 concurrent scan tasks that is ~5 GB of transient buffers and
+    # the executor OOMs (measured on the 1.4M corpus).  1024 rows x
+    # ~15 KB ~= 15 MB keeps 32-task scan memory under ~1 GB — the same
+    # rule a 100-TB ingest must apply when writing image shards.
+    pq.write_table(
+        pa.Table.from_pandas(images, schema=schema, preserve_index=False),
+        ip, row_group_size=1024,
+    )
     gp = os.path.join(out_dir, "golden_pairs.parquet", f"part-{chunk_idx:04d}.parquet")
     pq.write_table(pa.Table.from_pandas(pairs, preserve_index=False), gp)
     ga = os.path.join(out_dir, "golden_assignments.parquet", f"part-{chunk_idx:04d}.parquet")
@@ -347,7 +357,11 @@ def write_images_parquet(path: str, n_base: int, seed: int = 42) -> tuple[str, s
         ]
     )
     ip = os.path.join(path, "images.parquet")
-    pq.write_table(pa.Table.from_pandas(images, schema=schema, preserve_index=False), ip)
+    # row_group_size: see _gen_chunk — bounds per-scan-task heap.
+    pq.write_table(
+        pa.Table.from_pandas(images, schema=schema, preserve_index=False),
+        ip, row_group_size=1024,
+    )
     gp = os.path.join(path, "golden_pairs.parquet")
     pq.write_table(pa.Table.from_pandas(pairs, preserve_index=False), gp)
     ga = os.path.join(path, "golden_assignments.parquet")
