@@ -405,6 +405,10 @@ def q_cluster_diagnostics(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     pairs, _ = D.lsh_near_dup_pairs(d, "doc_id", "text", CFG)
+    # the verified pair list feeds BOTH the CC edge list and the
+    # diagnostics similarity join; cut lineage once so the LSH+verify
+    # plan runs once, not once per consumer
+    pairs = pairs.localCheckpoint(eager=True)
     cc = connected_components(pairs.select("a", "b"))
     assigns = C.with_singletons(d.select("doc_id"), "doc_id", cc).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
