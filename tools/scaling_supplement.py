@@ -140,9 +140,15 @@ over the SAME {n_img}-image input at local[{LO}] and local[{HI}] — still an
 N->4N core ratio per the driver instruction — using the identical
 alternating fresh-JVM protocol (warm-up + 1 measured rep per unit,
 median of {len(runs[0]["rlo"]["reps"])} units per level per run).  Each run measures BOTH
-in-window ceilings at ({LO},{HI}): the pure-CPU probe and the memcpy probe —
-at this width the memory system still scales, so the job's own number
-is attributable to the plan, not the host.
+in-window ceilings at ({LO},{HI}): the pure-CPU probe and the memcpy probe.
+The CPU probe reads ~1.0 at this width — the host genuinely delivers
+{HI // LO}x CPU — so the CPU-bound phases' raw numbers need no
+normalization.  The memcpy probe, however, measures
+{min(r["membw"]["ratio"] for r in runs if r.get("membw", {}).get("ratio")):.2f}-{max(r["membw"]["ratio"] for r in runs if r.get("membw", {}).get("ratio")):.2f} even at
+{LO}->{HI}: this VM's memory system never delivers {HI // LO}x bandwidth at ANY
+width, so the bandwidth-bound block phase remains host-capped here too
+(its per-run efficiency sits at or above the same-window memcpy ratio;
+see the phase decomposition in the verdict section).
 
 | run | cpu ceiling {LO}->{HI} | memcpy {LO}->{HI} | speedup | raw eff | normalized |
 |---|---|---|---|---|---|
