@@ -81,3 +81,28 @@ def test_ivf_topk_broadcasts_query_side(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_span_cut_plan_joins_text_once(spark):
+    """VERDICT r4 #3 gate: apply_span_cuts must attach document text
+    with exactly ONE join — spans are pre-aggregated to one array row
+    per doc, so a doc's text is never replicated per span (the round-4
+    shape shuffled each doc's text once per span)."""
+    import pandas as pd
+
+    from who_owns_mass_processing_spark.operators.substrings import apply_span_cuts
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["aXXbXXc" * 3, "plain"]})
+    )
+    spans = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 1], "span_start": [1, 8], "span_end": [3, 10]}
+        )
+    )
+    out = apply_span_cuts(df, spans, "doc_id", "text")
+    plan = _plan(out)
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, plan
+    assert "CartesianProduct" not in plan

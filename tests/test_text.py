@@ -153,3 +153,42 @@ def test_repetition_metrics_known_values(spark):
     assert by_t[""].d == 0.0 and by_t[""].b == 0.0
     assert by_t["spam spam spam spam"].d == 0.75
     assert by_t["spam spam spam spam"].b == 1.0
+
+
+def test_top_bigram_fraction_long_doc_bounded_time(spark):
+    """VERDICT r4 #2 gate: the sorted-run rewrite must handle a
+    100k-token document (all bigrams distinct — the worst case for the
+    old O(distinct^2) form, ~10^10 comparisons) in bounded time, and a
+    known-modal long doc must still produce the exact fraction."""
+    import time
+
+    import pandas as pd
+
+    n = 100_000
+    distinct = " ".join(f"t{i}" for i in range(n))
+    # 100k tokens where one bigram ("x y") appears 1000 times
+    looped = " ".join(
+        ("x y" if i % 100 == 0 else f"u{i} v{i}") for i in range(n // 2)
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "t": [distinct, looped]})
+    )
+    t0 = time.time()
+    got = {
+        r.doc_id: r.b
+        for r in df.select(
+            "doc_id", T.top_bigram_fraction(F.col("t")).alias("b")
+        ).collect()
+    }
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"long-doc top_bigram_fraction took {elapsed:.1f}s"
+    assert abs(got[1] - round(1 / (n - 1), 6)) < 1e-9
+    # python mirror for the looped doc
+    from collections import Counter
+
+    toks = looped.split()
+    bgs = Counter(
+        f"{a} {b}" for a, b in zip(toks, toks[1:])
+    )
+    expect = round(max(bgs.values()) / (len(toks) - 1), 6)
+    assert abs(got[2] - expect) < 1e-9

@@ -177,33 +177,66 @@ def top_bigram_fraction(col: Column) -> Column:
     equal to the single most frequent bigram — near-1 on boilerplate /
     looping text.  (Gopher's character-fraction variant is a trivial
     recombination; the bigram-count form keeps the oracle exact.)
-    Per-row array work only (O(distinct^2) on the row's own bigrams) —
-    no UDF, no shuffle."""
-    toks = word_tokens(col)
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # same let-binding as winnow_fingerprints: bind the bigram array once
-    # so the count lambda does not re-evaluate its construction per
-    # distinct bigram
-    frac_of = lambda bg: F.when(F.size(bg) == 0, F.lit(0.0)).otherwise(  # noqa: E731
-        F.round(
-            F.array_max(
-                F.transform(
-                    F.array_distinct(bg),
-                    lambda b: F.size(F.filter(bg, lambda x: x == b)),
-                )
-            ).cast("double")
-            / F.size(bg).cast("double"),
-            6,
+
+    Per-row array work only, O(n log n): the modal bigram's count equals
+    the longest run of equal adjacent elements in the SORTED bigram
+    array, found with one linear `aggregate` fold.  (The previous
+    distinct x filter form was O(distinct^2) per row — a 100k-token
+    document would do ~10^10 comparisons in a single task, a straggler
+    at scale; pytest pins the rewrite to the quadratic form's values
+    and bounds its runtime on a 100k-token doc.)  No UDF, no shuffle.
+
+    Both the token array and the bigram array are let-bound (the
+    winnow_fingerprints array-wrap idiom): a direct reference inside a
+    transform lambda is inlined and re-evaluated per element — the
+    unbound token array alone re-split the whole document once per
+    bigram, O(n^2) before the counting even started."""
+
+    # bg bound once; bigrams are never empty strings (two non-empty
+    # tokens joined by a space), so the "" initial prev can never
+    # extend a run
+    def frac_of(bg: Column) -> Column:
+        return F.when(F.size(bg) == 0, F.lit(0.0)).otherwise(
+            F.round(
+                F.aggregate(
+                    F.array_sort(bg),
+                    F.struct(
+                        F.lit("").alias("prev"),
+                        F.lit(0).alias("run"),
+                        F.lit(0).alias("best"),
+                    ),
+                    lambda acc, x: F.struct(
+                        x.alias("prev"),
+                        F.when(x == acc["prev"], acc["run"] + 1)
+                        .otherwise(F.lit(1))
+                        .alias("run"),
+                        F.greatest(
+                            acc["best"],
+                            F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                                F.lit(1)
+                            ),
+                        ).alias("best"),
+                    ),
+                    lambda acc: acc["best"],
+                ).cast("double")
+                / F.size(bg).cast("double"),
+                6,
+            )
         )
-    )
-    return F.element_at(F.transform(F.array(bigrams), frac_of), 1)
+
+    def from_toks(tk: Column) -> Column:
+        bigrams = F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.element_at(F.transform(F.array(bigrams), frac_of), 1)
+
+    return F.element_at(F.transform(F.array(word_tokens(col)), from_toks), 1)
 
 
 def fingerprint_md5(col: Column) -> Column:
