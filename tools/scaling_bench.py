@@ -40,7 +40,8 @@ from bench import ensure_bench_images_parallel
 from who_owns_mass_processing_spark.session import get_spark
 from who_owns_mass_processing_spark.config import DedupeConfig
 from who_owns_mass_processing_spark.functions.images import image_meta_udf, phash_combo_bands
-from who_owns_mass_processing_spark.operators.blocking import hamming_pairs
+from who_owns_mass_processing_spark.operators.blocking import (
+    decode_pair_ids, hamming_pairs, with_surrogate_ids)
 from who_owns_mass_processing_spark.operators.connected_components import connected_components
 from who_owns_mass_processing_spark.operators.dedupe import (
     exact_fingerprint_edges, minhash_signatures, rep_pairs_from_sigs)
@@ -83,16 +84,22 @@ def one_run():
     cap_edges = cap_rep_pairs.select("a", "b").unionByName(
         exact_fingerprint_edges(sigs, "image_id").select("a", "b"))
     byte_reps = sigs.groupBy("byte_fp").agg(F.min("image_id").alias("image_id"))
-    reps_df = sigs.join(byte_reps, ["image_id", "byte_fp"], "left_semi")
-    img_bands = phash_combo_bands(reps_df, "phash", "image_id",
+    # banding rides the 8-byte surrogate id (pipeline/run.py parity,
+    # VERDICT r4 #1: string ids were the block phase's dominant bytes)
+    reps_df = with_surrogate_ids(
+        sigs.join(byte_reps, ["image_id", "byte_fp"], "left_semi")
+        .select("image_id", "phash"))
+    img_bands = phash_combo_bands(reps_df, "phash", "_sid",
                                   cfg.phash_bands, cfg.hamming_radius)
     # Hamming gate FUSED into pair generation (pipeline/run.py parity):
     # failing combo-band candidates are never materialized — without the
     # fusion a hot 14k-row bucket family shuffles ~cap^2-per-cell unfiltered
     # pair rows into the dedup groupBy
-    img_ok_pairs, _ = hamming_pairs(img_bands, "image_id", "phash",
-                                    cfg.hamming_radius, cfg.band_bucket_cap, stop)
-    img_ok = verify_psnr(img_ok_pairs.select("a", "b"), images.select("image_id", "bytes", "fmt"),
+    img_sid_pairs, _ = hamming_pairs(img_bands, "_sid", "phash",
+                                     cfg.hamming_radius, cfg.band_bucket_cap, stop)
+    img_pairs = decode_pair_ids(img_sid_pairs.select("a", "b"),
+                                reps_df.select("_sid", "image_id"), "image_id")
+    img_ok = verify_psnr(img_pairs, images.select("image_id", "bytes", "fmt"),
                          "image_id", "bytes", "fmt", cfg.psnr_min_db)
     byte_star = sigs.join(byte_reps.withColumnRenamed("image_id", "a"), "byte_fp").where(
         F.col("image_id") != F.col("a")).select("a", F.col("image_id").alias("b"))

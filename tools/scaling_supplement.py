@@ -129,6 +129,50 @@ def render_section(state: dict) -> str:
         for r in runs
     )
 
+    # memcpy ratios collected into a LIST first — min()/max() over an
+    # empty generator raises (ADVICE r4: a resumed pre-membw SUPP_STATE
+    # or lo_bw==0 would crash the whole section rewrite); prose degrades
+    # to n/a exactly like the table rows do.
+    bw_ratios = [
+        r["membw"]["ratio"] for r in runs if r.get("membw", {}).get("ratio")
+    ]
+    if bw_ratios:
+        bw_span = f"{min(bw_ratios):.2f}-{max(bw_ratios):.2f}"
+        bw_sentence = (
+            f"The memcpy probe, however, measures {bw_span} even at\n"
+            f"{LO}->{HI}: this VM's memory system never delivers {HI // LO}x "
+            "bandwidth at ANY\nwidth, so the bandwidth-bound block phase "
+            "remains host-capped here too"
+        )
+    else:
+        bw_sentence = (
+            "No memcpy probe ratio is available for these runs, so the "
+            "bandwidth\nceiling is not quantified in-window"
+        )
+    # per-run block-phase efficiency vs the same-window memcpy ratio —
+    # the claim is WORDED FROM THE DATA (ADVICE r4: the old template
+    # hardcoded 'at or above', which run 2's own numbers contradicted)
+    be_over_bw = []
+    for r in runs:
+        bw = r.get("membw", {}).get("ratio")
+        blo, bhi = r["rlo"]["block_sec"], r["rhi"]["block_sec"]
+        if bw and bhi:
+            be_over_bw.append((blo / bhi) / (HI / LO) / bw)
+    if be_over_bw:
+        ratios_s = " / ".join(f"{x:.2f}" for x in be_over_bw)
+        rel = (
+            "at or above" if min(be_over_bw) >= 1.0
+            else "at or near" if min(be_over_bw) >= 0.7
+            else "sometimes well below"
+        )
+        block_clause = (
+            f"(its per-run efficiency lands {rel} the same-window memcpy "
+            f"ratio:\nblock-eff/memcpy {ratios_s}; see the phase "
+            "decomposition in the verdict section)"
+        )
+    else:
+        block_clause = "(no in-window memcpy ratio to compare against)"
+
     md = f"""## Below-saturation supplement: local[{LO}] vs local[{HI}] (N -> 4N)
 
 The 8->32 comparison above is capped by this single VM's memory system
@@ -143,12 +187,8 @@ median of {len(runs[0]["rlo"]["reps"])} units per level per run).  Each run meas
 in-window ceilings at ({LO},{HI}): the pure-CPU probe and the memcpy probe.
 The CPU probe reads ~1.0 at this width — the host genuinely delivers
 {HI // LO}x CPU — so the CPU-bound phases' raw numbers need no
-normalization.  The memcpy probe, however, measures
-{min(r["membw"]["ratio"] for r in runs if r.get("membw", {}).get("ratio")):.2f}-{max(r["membw"]["ratio"] for r in runs if r.get("membw", {}).get("ratio")):.2f} even at
-{LO}->{HI}: this VM's memory system never delivers {HI // LO}x bandwidth at ANY
-width, so the bandwidth-bound block phase remains host-capped here too
-(its per-run efficiency sits at or above the same-window memcpy ratio;
-see the phase decomposition in the verdict section).
+normalization.  {bw_sentence}
+{block_clause}.
 
 | run | cpu ceiling {LO}->{HI} | memcpy {LO}->{HI} | speedup | raw eff | normalized |
 |---|---|---|---|---|---|

@@ -52,6 +52,61 @@ def bucket_sizes(bands_df: DataFrame) -> DataFrame:
     return bands_df.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_n"))
 
 
+def with_surrogate_ids(df: DataFrame, sid_col: str = "_sid") -> DataFrame:
+    """Attach an 8-byte surrogate id and PIN the mapping (eager
+    localCheckpoint), so every blocking/verify consumer sees the same
+    id <-> surrogate bijection.
+
+    Why: band, cell, and pair rows are the dominant shuffle bytes of
+    every LSH tier, and each carried the STRING document/image id (plus
+    a payload struct) through banding, the cell groupBy, the pair-dedup
+    groupBy, and the verify joins.  Dictionary-encoding the id to a
+    dense long before `band_explode`/`candidate_pairs` cuts those
+    shuffles' id bytes ~2-4x at 100 TB (ids repeat once per band);
+    original ids are restored by `decode_pair_ids` after verify.
+
+    `monotonically_increasing_id` is unique (partition-prefixed long)
+    and job-free — no global sort, no dictionary join: the input here
+    is the per-doc signature table (one row per id), so the surrogate
+    is minted in place and the following checkpoint (which these
+    signature tables needed anyway — they feed banding AND verify)
+    makes the assignment stable across consumers.  Surrogate values are
+    run-dependent; outputs are not: pairs are decoded back to original
+    ids, and every emitted pair is exact-verified, so the pair SET is
+    invariant (pytest-pinned bit-identical in tests/test_blocking.py).
+    """
+    return df.withColumn(
+        sid_col, F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
+
+
+def decode_pair_ids(
+    pairs: DataFrame,
+    id_map: DataFrame,
+    id_col: str,
+    sid_col: str = "_sid",
+    ordered: bool = False,
+) -> DataFrame:
+    """Map surrogate pair ids (a, b) back to original ids, keeping every
+    other column.  id_map: (sid_col, id_col), one row per id.  Unordered
+    pairs are re-normalized to a < b in ORIGINAL id order (surrogate
+    order is arbitrary); `ordered=True` preserves (a, b) direction
+    (asymmetric metrics like containment)."""
+    keep = [c for c in pairs.columns if c not in ("a", "b")]
+    da = id_map.select(F.col(sid_col).alias("a"), F.col(id_col).alias("_ida"))
+    db = id_map.select(F.col(sid_col).alias("b"), F.col(id_col).alias("_idb"))
+    out = pairs.join(da, "a").join(db, "b")
+    if ordered:
+        return out.select(
+            F.col("_ida").alias("a"), F.col("_idb").alias("b"), *keep
+        )
+    return out.select(
+        F.least("_ida", "_idb").alias("a"),
+        F.greatest("_ida", "_idb").alias("b"),
+        *keep,
+    )
+
+
 def _pairs_from_items(items: Column, pair_predicate=None) -> Column:
     """C(n,2) pairs of an array<struct<id, payload?>> via nested lambdas
     (codegen'd).  items MUST be sorted by id (sort_array) so a < b holds

@@ -19,7 +19,11 @@ from who_owns_mass_processing_spark.functions.minhash import (
     signature_udf,
 )
 from who_owns_mass_processing_spark.functions.simhash import simhash_udf
-from who_owns_mass_processing_spark.operators.blocking import candidate_pairs
+from who_owns_mass_processing_spark.operators.blocking import (
+    candidate_pairs,
+    decode_pair_ids,
+    with_surrogate_ids,
+)
 from who_owns_mass_processing_spark.operators.verify import verify_jaccard
 
 
@@ -118,36 +122,60 @@ def rep_pairs_from_sigs(
     the exact tier's job.
 
     Returns (rep_pairs(a, b, jaccard, fp_a, fp_b), skew_metrics); a, b
-    are representative ids.
+    are representative ids (a < b in original-id order).
+
+    Banding, candidate generation, and verify all ride an 8-byte
+    surrogate id (`with_surrogate_ids`) instead of the string id — the
+    band/cell/pair shuffles are the tier's dominant bytes, and ids
+    repeat once per band (VERDICT r4 #1); the decode join back to
+    original ids doubles as the fingerprint-attach join the output
+    needed anyway, so the surrogate path adds ZERO extra joins.
     """
     reps = sigs.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    # checkpoint: rep_sigs feeds banding AND the verify join — without it
-    # the groupBy+semi-join recomputes per consumer
-    rep_sigs = sigs.join(reps, [id_col, "fingerprint"], "left_semi").localCheckpoint(eager=True)
+    # checkpoint (inside with_surrogate_ids): rep_sigs feeds banding AND
+    # the verify join — without it the groupBy+semi-join recomputes per
+    # consumer; it also pins the surrogate-id assignment
+    rep_sigs = with_surrogate_ids(
+        sigs.join(reps, [id_col, "fingerprint"], "left_semi")
+    )
     # stop threshold scales with the corpus; callers that already know the
     # row count pass it and skip a count job (one fewer barrier per call —
     # using corpus rows instead of rep rows only RAISES the drop threshold,
     # i.e. fewer drops: recall-safe)
     n_rows = corpus_rows if corpus_rows is not None else rep_sigs.count()
-    bands = band_explode(rep_sigs, "minhash", id_col, cfg.bands, cfg.rows_per_band)
+    bands = band_explode(rep_sigs, "minhash", "_sid", cfg.bands, cfg.rows_per_band)
     cands, metrics = candidate_pairs(
-        bands, id_col, cap=cfg.band_bucket_cap, hard_cap=cfg.stop_band_threshold(n_rows)
+        bands, "_sid", cap=cfg.band_bucket_cap, hard_cap=cfg.stop_band_threshold(n_rows)
     )
     verified = verify_jaccard(
         cands,
-        rep_sigs.select(id_col, "codes", "minhash"),
-        id_col,
+        rep_sigs.select("_sid", "codes", "minhash"),
+        "_sid",
         "codes",
         cfg.jaccard_threshold,
         minhash_col="minhash",
         num_perm=cfg.num_perm,
     )
-    fp = sigs.select(F.col(id_col), "fingerprint")
+    # decode surrogates AND attach rep fingerprints in the same two joins;
+    # (a, b) re-normalized to original-id order with fps swapped in step
+    dm = rep_sigs.select("_sid", F.col(id_col), "fingerprint")
+    da = dm.select(
+        F.col("_sid").alias("a"), F.col(id_col).alias("_ida"),
+        F.col("fingerprint").alias("_fpa"),
+    )
+    db = dm.select(
+        F.col("_sid").alias("b"), F.col(id_col).alias("_idb"),
+        F.col("fingerprint").alias("_fpb"),
+    )
+    joined = verified.join(da, "a").join(db, "b")
+    swap = F.col("_ida") > F.col("_idb")
     return (
-        verified.join(
-            fp.select(F.col(id_col).alias("a"), F.col("fingerprint").alias("fp_a")), "a"
-        ).join(
-            fp.select(F.col(id_col).alias("b"), F.col("fingerprint").alias("fp_b")), "b"
+        joined.select(
+            F.when(swap, F.col("_idb")).otherwise(F.col("_ida")).alias("a"),
+            F.when(swap, F.col("_ida")).otherwise(F.col("_idb")).alias("b"),
+            "jaccard",
+            F.when(swap, F.col("_fpb")).otherwise(F.col("_fpa")).alias("fp_a"),
+            F.when(swap, F.col("_fpa")).otherwise(F.col("_fpb")).alias("fp_b"),
         ),
         metrics,
     )
@@ -272,23 +300,23 @@ def winnow_pairs(
     Reference analog: block on a derived key, verify exactly
     (R/deduplicaters.R:313-359 blocks on standardized names, verifies
     with exact cosine)."""
-    fps = (
+    # checkpoint (inside with_surrogate_ids): feeds banding AND the
+    # verify join; blocking rides the 8-byte surrogate (VERDICT r4 #1)
+    fps = with_surrogate_ids(
         df.select(
             F.col(id_col),
             T.winnow_fingerprints(F.col(text_col), k=k, w=w).alias("_fps"),
-        )
-        .where(F.size("_fps") > 0)
-        .localCheckpoint(eager=True)  # feeds banding AND the verify join
+        ).where(F.size("_fps") > 0)
     )
     bands = fps.select(
-        F.col(id_col),
+        F.col("_sid"),
         F.lit(0).alias("band_id"),
         F.explode("_fps").alias("_g"),
-    ).select(id_col, "band_id", F.xxhash64("_g").alias("band_hash"))
-    cands, metrics = candidate_pairs(bands, id_col, cap=cap, hard_cap=hard_cap)
-    fa = fps.select(F.col(id_col).alias("a"), F.col("_fps").alias("_fa"))
-    fb = fps.select(F.col(id_col).alias("b"), F.col("_fps").alias("_fb"))
-    pairs = (
+    ).select("_sid", "band_id", F.xxhash64("_g").alias("band_hash"))
+    cands, metrics = candidate_pairs(bands, "_sid", cap=cap, hard_cap=hard_cap)
+    fa = fps.select(F.col("_sid").alias("a"), F.col("_fps").alias("_fa"))
+    fb = fps.select(F.col("_sid").alias("b"), F.col("_fps").alias("_fb"))
+    sid_pairs = (
         cands.join(fa, "a")
         .join(fb, "b")
         .select(
@@ -298,6 +326,7 @@ def winnow_pairs(
         )
         .where(F.col("n_shared") >= F.lit(int(min_shared)))
     )
+    pairs = decode_pair_ids(sid_pairs, fps.select("_sid", id_col), id_col)
     return pairs, metrics
 
 
@@ -348,15 +377,18 @@ def containment_pairs_lsh(
 
     sigs = minhash_signatures(df, id_col, text_col, cfg)
     reps = sigs.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    rep_sigs = sigs.join(reps, [id_col, "fingerprint"], "left_semi").localCheckpoint(
-        eager=True
+    # blocking + verify ride the 8-byte surrogate id (VERDICT r4 #1);
+    # rep-level verdicts leave this scope keyed by FINGERPRINT, so no
+    # separate decode join is needed
+    rep_sigs = with_surrogate_ids(
+        sigs.join(reps, [id_col, "fingerprint"], "left_semi")
     )
-    bands = band_explode(rep_sigs, "minhash", id_col, n_bands, n_rows)
+    bands = band_explode(rep_sigs, "minhash", "_sid", n_bands, n_rows)
     cands, metrics = candidate_pairs(
-        bands, id_col, cap=cfg.band_bucket_cap, hard_cap=cfg.band_bucket_hard_cap
+        bands, "_sid", cap=cfg.band_bucket_cap, hard_cap=cfg.band_bucket_hard_cap
     )
-    ca = rep_sigs.select(F.col(id_col).alias("a"), F.col("codes").alias("_ca"))
-    cb = rep_sigs.select(F.col(id_col).alias("b"), F.col("codes").alias("_cb"))
+    ca = rep_sigs.select(F.col("_sid").alias("a"), F.col("codes").alias("_ca"))
+    cb = rep_sigs.select(F.col("_sid").alias("b"), F.col("codes").alias("_cb"))
     joined = (
         cands.join(ca, "a")
         .join(cb, "b")
@@ -375,12 +407,13 @@ def containment_pairs_lsh(
     )
     rep_hits = fwd.unionByName(bwd).where(F.col("containment") >= threshold)
     # expand rep-level verdicts to members (identical text => identical
-    # shingle sets => identical containment) + ordered within-group pairs
+    # shingle sets => identical containment) + ordered within-group pairs;
+    # surrogate rep ids resolve to fingerprints here (the member join key)
     groups = sigs.select(F.col(id_col), "fingerprint")
-    fp = rep_sigs.select(F.col(id_col), "fingerprint")
+    fp = rep_sigs.select("_sid", "fingerprint")
     expanded = (
-        rep_hits.join(fp.select(F.col(id_col).alias("ra"), F.col("fingerprint").alias("_fa")), "ra")
-        .join(fp.select(F.col(id_col).alias("rb"), F.col("fingerprint").alias("_fb")), "rb")
+        rep_hits.join(fp.select(F.col("_sid").alias("ra"), F.col("fingerprint").alias("_fa")), "ra")
+        .join(fp.select(F.col("_sid").alias("rb"), F.col("fingerprint").alias("_fb")), "rb")
         .join(groups.select(F.col(id_col).alias("a"), F.col("fingerprint").alias("_fa")), "_fa")
         .join(groups.select(F.col(id_col).alias("b"), F.col("fingerprint").alias("_fb")), "_fb")
         .select("a", "b", "containment")
@@ -406,18 +439,25 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """SimHash banded near-dup: 64-bit simhash, 16-bit band blocking
     (pigeonhole guarantees recall for Hamming <= n_bands-1... radius<=3
-    with 4 bands), verify with bit_count. Returns (a, b, hamming)."""
+    with 4 bands), verify with bit_count. Returns (a, b, hamming).
+
+    Blocking rides the 8-byte surrogate id (VERDICT r4 #1); the
+    checkpoint inside with_surrogate_ids also runs the signature UDF
+    once instead of once per consumer (bands + both verify sides)."""
     from who_owns_mass_processing_spark.functions.images import phash_bands
     from who_owns_mass_processing_spark.operators.blocking import hamming_pairs
 
-    sh = df.select(
-        F.col(id_col), simhash_udf()(T.normalize_text(F.col(text_col))).alias("simhash")
+    sh = with_surrogate_ids(
+        df.select(
+            F.col(id_col),
+            simhash_udf()(T.normalize_text(F.col(text_col))).alias("simhash"),
+        )
     )
-    bands = phash_bands(sh, "simhash", id_col, n_bands=n_bands)
-    cands, _ = hamming_pairs(bands, id_col, "simhash", radius)
-    fa = sh.select(F.col(id_col).alias("a"), F.col("simhash").alias("_ha"))
-    fb = sh.select(F.col(id_col).alias("b"), F.col("simhash").alias("_hb"))
-    return (
+    bands = phash_bands(sh, "simhash", "_sid", n_bands=n_bands)
+    cands, _ = hamming_pairs(bands, "_sid", "simhash", radius)
+    fa = sh.select(F.col("_sid").alias("a"), F.col("simhash").alias("_ha"))
+    fb = sh.select(F.col("_sid").alias("b"), F.col("simhash").alias("_hb"))
+    sid_pairs = (
         cands.join(fa, "a")
         .join(fb, "b")
         .select(
@@ -426,3 +466,4 @@ def simhash_near_dup_pairs(
         )
         .where(F.col("hamming") <= radius)
     )
+    return decode_pair_ids(sid_pairs, sh.select("_sid", id_col), id_col)

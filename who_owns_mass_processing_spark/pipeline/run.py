@@ -122,24 +122,40 @@ def run_pipeline(
 
     def _image_pairs() -> DataFrame:
         from who_owns_mass_processing_spark.functions.images import phash_combo_bands
+        from who_owns_mass_processing_spark.operators.blocking import (
+            decode_pair_ids,
+            with_surrogate_ids,
+        )
 
         byte_reps = ingested.groupBy("byte_fp").agg(F.min("image_id").alias("image_id"))
-        reps = ingested.join(byte_reps, ["image_id", "byte_fp"], "left_semi")
+        # banding + Hamming verify ride the 8-byte surrogate id (VERDICT
+        # r4 #1: band/cell/pair rows carried the string image_id — the
+        # block phase's dominant shuffle bytes); the checkpoint inside
+        # with_surrogate_ids also stops the semi-join recomputing per
+        # consumer (bands, verify, decode)
+        reps = with_surrogate_ids(
+            ingested.join(byte_reps, ["image_id", "byte_fp"], "left_semi")
+            .select("image_id", "phash")
+        )
         bands = phash_combo_bands(
-            reps, "phash", "image_id",
+            reps, "phash", "_sid",
             n_bands=cfg.phash_bands, radius=cfg.hamming_radius,
         )
         # Hamming check fused into pair generation: failing candidates are
         # never materialized (the multi-index background-collision volume
         # otherwise dwarfs the true-pair count)
         cands, skew = hamming_pairs(
-            bands, "image_id", "phash", cfg.hamming_radius,
+            bands, "_sid", "phash", cfg.hamming_radius,
             cap=cfg.band_bucket_cap, hard_cap=stop_cap,
         )
         cat.write("image_band_skew", skew)
-        ham = verify_hamming(
-            cands, reps.select("image_id", "phash"), "image_id", "phash",
-            cfg.hamming_radius,
+        ham = decode_pair_ids(
+            verify_hamming(
+                cands, reps.select("_sid", "phash"), "_sid", "phash",
+                cfg.hamming_radius,
+            ),
+            reps.select("_sid", "image_id"),
+            "image_id",
         )
         # lossy pairs additionally need the decoded-pixel PSNR gate; the
         # bytes join touches only candidate pairs that already passed Hamming
