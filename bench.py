@@ -131,6 +131,31 @@ def main() -> None:
     timings["images_second_round"] = round(time.time() - t0, 3)
     shutil.rmtree(workdir, ignore_errors=True)
 
+    # winnow_pairs / containment_pairs_lsh over the SAME cached caption
+    # corpus (VERDICT r4 #6).  The sf0.1 documents fixture is
+    # adversarially self-similar (see HEADLINE note above), so these two
+    # are benched where their output is tier-shaped, with
+    # caption-appropriate parameters: k=8/w=8/min_shared=3 (5-char grams
+    # with min_shared=2 aren't discriminative over short 500-word-vocab
+    # captions), and max_size_ratio=1.5 (captions are all 5-18 tokens;
+    # ratio 4 maps the Jaccard floor to 0.28 and the banding goes
+    # degenerate).  Both timings include the operators' stage overhead
+    # (surrogate-id checkpoint, banding, salted pair-gen, exact verify).
+    from who_owns_mass_processing_spark.config import DedupeConfig as _Cfg
+    from who_owns_mass_processing_spark.operators import dedupe as _D
+
+    captions = spark.read.parquet(images_path).select("image_id", "caption")
+    t0 = time.time()
+    wp, _ = _D.winnow_pairs(captions, "image_id", "caption", k=8, w=8, min_shared=3)
+    materialize(wp)
+    timings["caption_winnow_pairs"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    cp, _ = _D.containment_pairs_lsh(
+        captions, "image_id", "caption", _Cfg(), threshold=0.9, max_size_ratio=1.5
+    )
+    materialize(cp)
+    timings["caption_containment_pairs"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
