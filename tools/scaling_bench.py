@@ -37,7 +37,7 @@ sys.path.insert(0, %(repo)r)
 cores = int(sys.argv[1]); n_base = int(sys.argv[2]); reps = int(sys.argv[3])
 from pyspark.sql import functions as F
 from bench import ensure_bench_images_parallel
-from who_owns_mass_processing_spark.session import get_spark
+from who_owns_mass_processing_spark.session import get_spark, shuffle_write_bytes
 from who_owns_mass_processing_spark.config import DedupeConfig
 from who_owns_mass_processing_spark.functions.images import image_meta_udf, phash_combo_bands
 from who_owns_mass_processing_spark.operators.blocking import (
@@ -79,6 +79,7 @@ def one_run():
     t["sig"] = time.time() - t0
 
     t0 = time.time()
+    sw0 = shuffle_write_bytes(spark)
     stop = cfg.stop_band_threshold(n)
     cap_rep_pairs, _ = rep_pairs_from_sigs(sigs, "image_id", cfg, corpus_rows=n)
     cap_edges = cap_rep_pairs.select("a", "b").unionByName(
@@ -107,6 +108,9 @@ def one_run():
              .unionByName(byte_star).distinct().localCheckpoint(eager=True))
     t["edges"] = edges.count()
     t["block"] = time.time() - t0
+    # shuffle-WRITE bytes attributed to the block+verify phase (VERDICT
+    # r4 #1 evidence: surrogate ids shrink block-phase shuffle volume)
+    t["block_shuffle_mb"] = (shuffle_write_bytes(spark) - sw0) / 1e6
 
     t0 = time.time()
     cc = connected_components(edges)
@@ -140,6 +144,7 @@ print(json.dumps({
     "cold_sec": round(cold["sig"] + cold["block"], 2),
     "sig_sec": round(med("sig"), 2), "block_sec": round(med("block"), 2),
     "cc_sec": round(med("cc"), 2),
+    "block_shuffle_mb": round(med("block_shuffle_mb"), 1),
     "images_per_sec": round(n / core_sec, 2),
     "reps": [{k: round(v, 2) for k, v in r.items()} for r in runs],
 }))

@@ -94,7 +94,7 @@ def run_alternating(n_base: int, reps: int) -> tuple[dict, dict]:
     def agg(us: list[dict]) -> dict:
         med = lambda key: sorted(u[key] for u in us)[len(us) // 2]
         core_sec = med("sig_sec") + med("block_sec")
-        return {
+        out = {
             "cores": us[0]["cores"], "n_images": us[0]["n_images"],
             "edges": us[0]["edges"], "cold_sec": med("cold_sec"),
             "sig_sec": med("sig_sec"), "block_sec": med("block_sec"),
@@ -102,6 +102,11 @@ def run_alternating(n_base: int, reps: int) -> tuple[dict, dict]:
             "images_per_sec": round(us[0]["n_images"] / core_sec, 2),
             "reps": [u["reps"][0] for u in us],
         }
+        # present from round 5 on (shuffle_write_bytes instrumentation);
+        # guard so a resumed pre-r5 SUPP_STATE still aggregates
+        if all("block_shuffle_mb" in u for u in us):
+            out["block_shuffle_mb"] = med("block_shuffle_mb")
+        return out
 
     return agg(units[LO]), agg(units[HI])
 
@@ -216,12 +221,16 @@ normalization.  {bw_sentence}
         rlo, rhi = r["rlo"], r["rhi"]
         sp, eff, norm = _run_block(r)
         norm_s = f"{norm:.2f}" if norm is not None else "n/a"
+        def _mb(u: dict) -> str:
+            v = u.get("block_shuffle_mb")
+            return f"{v:.1f}" if v is not None else "n/a"
+
         md += f"""### Supplement run {i + 1}
 
-| parallelism | images | signature s | block+verify s | images/sec | cold-run s | CC s |
-|---|---|---|---|---|---|---|
-| local[{LO}] (N)  | {rlo["n_images"]} | {rlo["sig_sec"]} | {rlo["block_sec"]} | {rlo["images_per_sec"]} | {rlo["cold_sec"]} | {rlo["cc_sec"]} |
-| local[{HI}] (4N) | {rhi["n_images"]} | {rhi["sig_sec"]} | {rhi["block_sec"]} | {rhi["images_per_sec"]} | {rhi["cold_sec"]} | {rhi["cc_sec"]} |
+| parallelism | images | signature s | block+verify s | block shuffle-write MB | images/sec | cold-run s | CC s |
+|---|---|---|---|---|---|---|---|
+| local[{LO}] (N)  | {rlo["n_images"]} | {rlo["sig_sec"]} | {rlo["block_sec"]} | {_mb(rlo)} | {rlo["images_per_sec"]} | {rlo["cold_sec"]} | {rlo["cc_sec"]} |
+| local[{HI}] (4N) | {rhi["n_images"]} | {rhi["sig_sec"]} | {rhi["block_sec"]} | {_mb(rhi)} | {rhi["images_per_sec"]} | {rhi["cold_sec"]} | {rhi["cc_sec"]} |
 
 - speedup **{sp:.2f}x**, raw **{eff:.2f}**, normalized {norm_s}
 - per-rep block spread: local[{LO}] {[x["block"] for x in rlo["reps"]]} s,

@@ -111,3 +111,29 @@ def get_spark(
             .config("spark.sql.catalog.local.warehouse", warehouse)
         )
     return b.getOrCreate()
+
+
+def shuffle_write_bytes(spark: SparkSession) -> int:
+    """Cumulative shuffle-write bytes across all stages this session, read
+    from the JVM AppStatusStore (works with the UI disabled — the status
+    listener always runs).  Snapshot before/after a job section and take
+    the delta to attribute shuffle volume to one phase; used by the
+    scaling bench to evidence the surrogate-id shuffle-byte reduction
+    (VERDICT r4 #1).  Deltas are only valid while the store retains every
+    stage of the measured window (spark.ui.retainedStages, default 1000 —
+    plenty for one fresh-JVM bench unit)."""
+    sc = spark.sparkContext
+    gw = sc._gateway
+    store = sc._jsc.sc().statusStore()
+    stages = store.stageList(
+        sc._jvm.java.util.ArrayList(),  # statuses filter: empty = all
+        False,  # details
+        False,  # withSummaries
+        gw.new_array(gw.jvm.double, 0),  # unsortedQuantiles
+        sc._jvm.java.util.ArrayList(),  # taskStatus filter
+    )
+    total = 0
+    it = stages.iterator()
+    while it.hasNext():
+        total += it.next().shuffleWriteBytes()
+    return total
