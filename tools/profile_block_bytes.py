@@ -46,8 +46,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-MARK_BEGIN = "<!-- BLOCKBYTES:BEGIN -->"
-MARK_END = "<!-- BLOCKBYTES:END -->"
+def _marks(id_mode: str) -> tuple[str, str]:
+    # one section per id_mode so the url run doesn't clobber the native one
+    return (
+        f"<!-- BLOCKBYTES:{id_mode}:BEGIN -->",
+        f"<!-- BLOCKBYTES:{id_mode}:END -->",
+    )
 
 
 def main() -> None:
@@ -233,13 +237,20 @@ def main() -> None:
         t["time_ratio"] = (
             round(t["str_sec"] / t["sid_sec"], 2) if t["sid_sec"] else None
         )
+    out["id_mode"] = id_mode
     print(json.dumps(out))
     write_bench_section(out)
     spark.stop()
 
 
 def render_section(out: dict) -> str:
-    md = f"""## Block-phase shuffle bytes: string ids vs 8-byte surrogates (r5, VERDICT r4 #1)
+    mode = out.get("id_mode", "native")
+    id_desc = (
+        "native 13-char synthetic ids"
+        if mode == "native"
+        else "57-byte URL-shaped ids (web-corpus width, bijective rekey)"
+    )
+    md = f"""## Block-phase shuffle bytes: string ids vs 8-byte surrogates — {id_desc} (r5, VERDICT r4 #1)
 
 Same corpus ({out["n_images"]} images), same JVM (`local[{out["cores"]}]`),
 modes alternating str,sid per rep ({out["reps"]} reps each, median
@@ -265,13 +276,14 @@ the AppStatusStore, snapshotted around each section.
 
 
 def write_bench_section(out: dict) -> None:
+    mark_begin, mark_end = _marks(out.get("id_mode", "native"))
     path = os.path.join(REPO, "BENCH.md")
     text = open(path).read()
-    section = MARK_BEGIN + "\n" + render_section(out) + MARK_END
-    if MARK_BEGIN in text:
-        text = text.split(MARK_BEGIN)[0] + section + text.split(MARK_END)[1]
+    section = mark_begin + "\n" + render_section(out) + mark_end
+    if mark_begin in text:
+        text = text.split(mark_begin)[0] + section + text.split(mark_end)[1]
     else:
-        anchor = "<!-- SUPPLEMENT:BEGIN -->"
+        anchor = "<!-- SUPPLEMENT-R4-FROZEN ("
         if anchor in text:
             pre, post = text.split(anchor, 1)
             text = pre + section + "\n\n" + anchor + post
