@@ -31,8 +31,13 @@ the same A/B runs at a realistic id width (pair semantics unchanged —
 the mapping is bijective).
 
 Usage: python tools/profile_block_bytes.py [cores] [n_base] [reps] [id_mode]
-id_mode: native (default) | url.  Writes/updates the BLOCKBYTES section
-in BENCH.md (one sub-section per id_mode) and prints JSON.
+id_mode: native (default) | url | url_nocomp.  url_nocomp additionally
+disables shuffle/spill compression: lz4 erases most of a constant-prefix
+URL on the wire, so compressed write bytes understate the row-width
+difference — uncompressed bytes are what sort buffers, spill working
+sets, and cell hash tables scale with at 100 TB.  Writes/updates the
+BLOCKBYTES section in BENCH.md (one sub-section per id_mode) and prints
+JSON.
 """
 
 from __future__ import annotations
@@ -59,7 +64,15 @@ def main() -> None:
     n_base = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     id_mode = sys.argv[4] if len(sys.argv) > 4 else "native"
-    assert id_mode in ("native", "url"), id_mode
+    assert id_mode in ("native", "url", "url_nocomp"), id_mode
+    if id_mode == "url_nocomp":
+        # compression OFF isolates UNCOMPRESSED row width — lz4 erases
+        # most of a constant-prefix URL on the wire, but sort buffers,
+        # spill working sets, and groupBy hash tables scale with the
+        # uncompressed row, which is what binds at 100 TB
+        os.environ["SPARK_GRAFT_EXTRA_CONF"] = (
+            "spark.shuffle.compress=false;spark.shuffle.spill.compress=false"
+        )
 
     from pyspark.sql import functions as F
 
@@ -105,7 +118,7 @@ def main() -> None:
     def rekey(df):
         # bijective URL-shaped rekey (57 bytes): the id width real web
         # corpora carry through blocking when keyed by image URL
-        if id_mode != "url":
+        if not id_mode.startswith("url"):
             return df
         return df.withColumn(
             "image_id",
@@ -245,11 +258,14 @@ def main() -> None:
 
 def render_section(out: dict) -> str:
     mode = out.get("id_mode", "native")
-    id_desc = (
-        "native 13-char synthetic ids"
-        if mode == "native"
-        else "57-byte URL-shaped ids (web-corpus width, bijective rekey)"
-    )
+    id_desc = {
+        "native": "native 13-char synthetic ids",
+        "url": "57-byte URL-shaped ids (web-corpus width, bijective rekey)",
+        "url_nocomp": (
+            "57-byte URL-shaped ids, shuffle compression OFF "
+            "(uncompressed row width — what sort/spill memory scales with)"
+        ),
+    }[mode]
     md = f"""## Block-phase shuffle bytes: string ids vs 8-byte surrogates — {id_desc} (r5, VERDICT r4 #1)
 
 Same corpus ({out["n_images"]} images), same JVM (`local[{out["cores"]}]`),

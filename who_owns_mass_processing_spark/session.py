@@ -104,6 +104,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # arbitrary conf pass-through for benches/probes (';'-separated k=v
+    # pairs) — e.g. spark.shuffle.compress=false to measure uncompressed
+    # shuffle row width (tools/profile_block_bytes.py url_nocomp mode)
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if kv.strip():
+            k, _, v = kv.partition("=")
+            b = b.config(k.strip(), v.strip())
     if warehouse and _has_iceberg():  # pragma: no cover - no iceberg jar in sandbox
         b = (
             b.config("spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog")
