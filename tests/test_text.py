@@ -192,3 +192,21 @@ def test_top_bigram_fraction_long_doc_bounded_time(spark):
     )
     expect = round(max(bgs.values()) / (len(toks) - 1), 6)
     assert abs(got[2] - expect) < 1e-9
+
+
+def test_winnow_udf_matches_expression_twin(spark):
+    """The vectorized winnow UDF (uint64 gram packing + numpy sliding
+    min) must be bit-identical to the Catalyst expression twin — the
+    engine-portability contract (the DuckDB oracle mirrors the
+    expression form)."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for k, w in ((5, 4), (8, 8), (3, 4), (8, 2)):
+        diff = (
+            d.select(
+                T.winnow_fingerprints(F.col("text"), k=k, w=w).alias("new"),
+                T.winnow_fingerprints_expr(F.col("text"), k=k, w=w).alias("old"),
+            )
+            .where(F.col("new") != F.col("old"))
+            .count()
+        )
+        assert diff == 0, (k, w)
