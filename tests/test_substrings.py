@@ -230,3 +230,30 @@ def test_apply_span_cuts_python_mirror(spark):
 
     assert got == mirror(docs)
     assert got[3] == docs[3] and got[4] == ""
+
+
+def test_lgram_vectorized_matches_expression_twin(spark):
+    """The vectorized gram stage must induce the SAME occurrence
+    structure as the Catalyst expression twin: identical (id, pos)
+    sets, and the hash-equality classes over positions must partition
+    identically (hash VALUES legitimately differ — they are internal
+    blocking keys; every span/pair output is hash-free)."""
+    from pyspark.sql import functions as F
+
+    from who_owns_mass_processing_spark.operators.substrings import (
+        lgram_occurrences,
+        lgram_occurrences_expr,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = lgram_occurrences(d, "doc_id", "text", 25)
+    old = lgram_occurrences_expr(d, "doc_id", "text", 25)
+    assert new.select("doc_id", "pos").exceptAll(old.select("doc_id", "pos")).count() == 0
+    assert old.select("doc_id", "pos").exceptAll(new.select("doc_id", "pos")).count() == 0
+    j = new.alias("n").join(old.alias("o"), ["doc_id", "pos"])
+    for a, b in (("n", "o"), ("o", "n")):
+        cls = j.groupBy(f"{a}.gram_hash").agg(
+            F.min(F.struct(f"{b}.gram_hash")).alias("mn"),
+            F.max(F.struct(f"{b}.gram_hash")).alias("mx"),
+        )
+        assert cls.where(F.col("mn") != F.col("mx")).count() == 0

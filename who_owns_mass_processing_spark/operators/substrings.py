@@ -56,13 +56,98 @@ def lgram_occurrences(
     """(id, pos, gram_hash) for every length-`min_len` window.
 
     pos is the 0-based character offset; gram_hash = 128-bit key of the
-    window text as struct<h1,h2> of two independently-salted xxhash64
-    values (see module collision note — 64 bits is insufficient at the
+    window text as struct<h1,h2> of two independently-salted 64-bit
+    hashes (see module collision note — 64 bits is insufficient at the
     10^12-doc target because the span path has no exact-text verify).
-    Docs shorter than min_len emit nothing.  The gram array is built by
-    a codegen'd `transform` over the text column and posexploded, so
-    the text itself is never duplicated per position and never shuffles
-    — only (id, int, struct<int64,int64>) rows leave the scan stage.
+    Docs shorter than min_len emit nothing; the text itself never
+    shuffles — only (id, long, struct<int64,int64>) rows leave the
+    gram stage.
+
+    Implementation: vectorized Arrow mapInPandas (guide §4.2).  The
+    expression twin (`lgram_occurrences_expr`) built every window with
+    an interpreted substr-per-position transform + two xxhash64 calls —
+    at ~1 window/char that interpreted loop was ~2.6 s per pass at
+    sf0.1 (and the occurrence table is consumed twice per span query).
+    Here each Arrow batch concatenates its documents as UTF-32 code
+    points (char semantics identical to Spark's substr), takes ONE
+    numpy sliding window view, and folds the window chunks through a
+    salted splitmix64 sponge — two independent 64-bit lanes, same
+    128-bit collision budget as the previous double-xxhash64.  The
+    hash VALUES differ from the expression twin by design (they are
+    internal blocking keys; spans/pairs outputs are hash-free), pinned
+    equivalent in tests/test_substrings.py."""
+    import numpy as np
+    import pandas as pd
+
+    from who_owns_mass_processing_spark.functions.minhash import splitmix64
+
+    L = int(min_len)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, pos long, h1 long, h2 long"
+    salts = (np.uint64(0xA5A5A5A55A5A5A5A), np.uint64(0x0123456789ABCDEF))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col].values
+            arrs = [
+                np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32)
+                for t in pdf[text_col]
+            ]
+            lens = np.array([len(a) for a in arrs], dtype=np.int64)
+            keep = lens >= L
+            if not keep.any():
+                yield pd.DataFrame(
+                    {id_col: ids[:0], "pos": np.array([], dtype=np.int64),
+                     "h1": np.array([], dtype=np.int64),
+                     "h2": np.array([], dtype=np.int64)}
+                )
+                continue
+            cat = np.concatenate([a for a, k in zip(arrs, keep) if k])
+            klens = lens[keep]
+            starts = np.zeros(len(klens), dtype=np.int64)
+            np.cumsum(klens[:-1], out=starts[1:])
+            m_per = klens - L + 1
+            total = int(m_per.sum())
+            doc_idx = np.repeat(np.arange(len(klens)), m_per)
+            pos = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(m_per) - m_per, m_per
+            )
+            sw = np.lib.stride_tricks.sliding_window_view(cat, L)
+            win = sw[starts[doc_idx] + pos]  # (total, L) uint32
+            pad = (-L) % 2
+            if pad:
+                win = np.concatenate(
+                    [win, np.zeros((total, pad), dtype=np.uint32)], axis=1
+                )
+            chunks = np.ascontiguousarray(win).view(np.uint64)
+
+            def fold(salt: np.uint64) -> np.ndarray:
+                h = np.full(total, salt, dtype=np.uint64)
+                for j in range(chunks.shape[1]):
+                    h = splitmix64(h ^ chunks[:, j])
+                return h.view(np.int64)
+
+            yield pd.DataFrame(
+                {id_col: ids[keep][doc_idx], "pos": pos,
+                 "h1": fold(salts[0]), "h2": fold(salts[1])}
+            )
+
+    out = df.select(F.col(id_col), F.col(text_col)).mapInPandas(gen, schema)
+    return out.select(
+        F.col(id_col), F.col("pos"),
+        F.struct(F.col("h1"), F.col("h2")).alias("gram_hash"),
+    )
+
+
+def lgram_occurrences_expr(
+    df: DataFrame, id_col: str, text_col: str, min_len: int
+) -> DataFrame:
+    """Catalyst-builtin twin of `lgram_occurrences` (transform + substr +
+    double xxhash64, no UDF).  Kept as the equivalence oracle for the
+    vectorized path: hash values differ, but the induced (id, pos)
+    occurrence structure and every downstream span/pair output are
+    identical (tests/test_substrings.py).
+
     The gram strings are let-bound in a first transform and hashed by a
     second, so each window substring is materialized exactly ONCE even
     though two salted hashes consume it (inlining both substr calls
@@ -103,13 +188,23 @@ def duplicated_grams(
     row per doc, not one per occurrence — the map-side combine that
     keeps a 10^9-occurrence boilerplate gram from concentrating on one
     reducer."""
+    if not cross_doc_only:
+        # n_docs is unused here: ONE hash aggregation (map-side partial
+        # agg bounds any boilerplate gram's reducer load to one partial
+        # row per map task), saving the full (gram, doc)-pair shuffle
+        # the two-level form pays — that shuffle is the same order as
+        # the occurrence table itself when grams are mostly distinct.
+        return (
+            occ.groupBy("gram_hash")
+            .agg(F.count("*").alias("n_occ"))
+            .where(F.col("n_occ") >= F.lit(min_count))
+            .select("gram_hash")
+        )
     per_doc = occ.groupBy("gram_hash", id_col).agg(F.count("*").alias("_c"))
     freq = per_doc.groupBy("gram_hash").agg(
         F.sum("_c").alias("n_occ"), F.count("*").alias("n_docs")
     )
-    cond = F.col("n_occ") >= F.lit(min_count)
-    if cross_doc_only:
-        cond = cond & (F.col("n_docs") >= 2)
+    cond = (F.col("n_occ") >= F.lit(min_count)) & (F.col("n_docs") >= 2)
     return freq.where(cond).select("gram_hash")
 
 
