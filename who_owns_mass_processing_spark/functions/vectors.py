@@ -171,6 +171,10 @@ def ann_lsh_pairs(
         b = b.select(id_col, "band_id", F.explode(probes).alias("band_hash"))
     else:
         b = b.select(id_col, "band_id", F.col("bucket").alias("band_hash"))
+    # pin the band table: candidate_pairs consumes it twice (census +
+    # cell build) and each pass would re-run the bucket UDF + probe
+    # explode; the table itself is (id, int, long) — tiny
+    b = b.localCheckpoint(eager=True)
     cands, _metrics = candidate_pairs(b, id_col, cap=cap, hard_cap=hard_cap)
     fa = slim.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
     fb = slim.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))

@@ -52,25 +52,50 @@ def verify_jaccard(
     2.33M candidates -> 0.90M survivors, verify 10s -> 7s at local[32];
     at web-corpus similarity profiles (background J << threshold) the
     survivor cut is >90%."""
+    # EXACT size-ratio pre-filter, evaluated BEFORE any per-element
+    # expression: |A∩B| <= min(|A|,|B|) and |A∪B| >= max, so
+    # J <= min/max — a pair failing min/max >= threshold can never
+    # verify.  The epsilon covers the output's round(J, 6) boundary
+    # (round(0.7999995, 6) == 0.8 passes the final filter) plus float
+    # slop: the filter may only ADMIT extra pairs, never reject a true
+    # one.  The scalar compare short-circuits the O(num_perm) estimate
+    # (and the O(|codes|) intersect) for size-mismatched candidates —
+    # measured 4.2 s -> 1.5 s on the 2.33M-candidate gate stage at
+    # sf0.1 and a ~12% cut of exact-verify survivors.
+    ratio_floor = F.lit(float(threshold) - 1e-6)
+
+    def _ratio_ok(na, nb):
+        return F.least(na, nb).cast("double") >= ratio_floor * F.greatest(na, nb).cast("double")
+
     if minhash_col is not None and num_perm:
         gate = threshold - gate_sigmas * (threshold * (1 - threshold) / num_perm) ** 0.5
-        ma = features.select(F.col(id_col).alias("a"), F.col(minhash_col).alias("_ma"))
-        mb = features.select(F.col(id_col).alias("b"), F.col(minhash_col).alias("_mb"))
+        ma = features.select(
+            F.col(id_col).alias("a"), F.col(minhash_col).alias("_ma"),
+            F.size(shingle_col).alias("_na"),
+        )
+        mb = features.select(
+            F.col(id_col).alias("b"), F.col(minhash_col).alias("_mb"),
+            F.size(shingle_col).alias("_nb"),
+        )
         est = F.size(
             F.filter(F.zip_with(F.col("_ma"), F.col("_mb"), lambda x, y: x == y), lambda t: t)
         ) / F.lit(float(num_perm))
         pairs = (
             pairs.join(ma, "a")
             .join(mb, "b")
-            .where(est >= F.lit(gate))
+            .where(_ratio_ok(F.col("_na"), F.col("_nb")) & (est >= F.lit(gate)))
             .select("a", "b")
         )
+        size_gated = True
+    else:
+        size_gated = False
     fa = features.select(F.col(id_col).alias("a"), F.col(shingle_col).alias("_sa"))
     fb = features.select(F.col(id_col).alias("b"), F.col(shingle_col).alias("_sb"))
+    out = pairs.join(fa, "a").join(fb, "b")
+    if not size_gated:
+        out = out.where(_ratio_ok(F.size("_sa"), F.size("_sb")))
     return (
-        pairs.join(fa, "a")
-        .join(fb, "b")
-        .select("a", "b", F.round(jaccard_arrays(F.col("_sa"), F.col("_sb")), 6).alias("jaccard"))
+        out.select("a", "b", F.round(jaccard_arrays(F.col("_sa"), F.col("_sb")), 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
