@@ -23,9 +23,25 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _parquet_dir_rows(path: str) -> int:
+    """Exact row count of a written parquet directory from file footers —
+    driver-side metadata reads, ZERO Spark jobs (replaces the per-stage
+    `out.count()` job: at ~13 stages per pipeline run those count jobs
+    alone were ~2 s of pure barrier overhead)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
+    return total
 
 
 class StageCatalog:
@@ -36,6 +52,11 @@ class StageCatalog:
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "_MANIFEST.json")
         self._manifest = self._load_manifest()
+        # serializes manifest mutation + the swap section of write():
+        # independent stages may be computed from concurrent driver
+        # threads (pipeline/run.py overlaps the caption and image tiers,
+        # guide §2.6), and snapshot ids must stay strictly monotonic
+        self._lock = threading.RLock()
         # stages (re)computed by THIS process — downstream stages consult
         # this to invalidate themselves when an upstream recomputed (the
         # fingerprint covers config, not input data, so a refreshed
@@ -85,30 +106,37 @@ class StageCatalog:
 
         self.computed_this_run.add(stage)
         path = self._stage_path(stage)
-        tmp = f"{path}.tmp-{self._manifest['snapshot_seq'] + 1}"
+        tmp = f"{path}.tmp-{os.getpid()}-{threading.get_ident()}"
         shutil.rmtree(tmp, ignore_errors=True)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
-        # point of no return for the OLD data: invalidate first so a kill
-        # mid-swap reads as "stage missing", not "stage complete"
-        self.invalidate(stage)
-        shutil.rmtree(path, ignore_errors=True)
-        os.replace(tmp, path)
-        out = self.spark.read.parquet(path)
-        self._manifest["snapshot_seq"] += 1
-        self._manifest["stages"][stage] = {
-            "fingerprint": self.fingerprint,
-            "snapshot_id": self._manifest["snapshot_seq"],
-            "rows": out.count(),
-            "schema": out.schema.simpleString(),
-            # full schema for job-free resume reads (simpleString is for
-            # the human-facing lineage table; it is not round-trippable)
-            "schema_json": json.dumps(out.schema.jsonValue()),
-            "path": path,
-        }
-        self._save_manifest()
+        # rows from the just-written footers (driver metadata, no job);
+        # schema from the DataFrame we just wrote — the read-back below
+        # reuses it, so the footer-inference job disappears too
+        n_rows = _parquet_dir_rows(tmp)
+        schema = df.schema
+        with self._lock:
+            # point of no return for the OLD data: invalidate first so a
+            # kill mid-swap reads as "stage missing", not "stage complete"
+            self.invalidate(stage)
+            shutil.rmtree(path, ignore_errors=True)
+            os.replace(tmp, path)
+            out = self.spark.read.schema(schema).parquet(path)
+            self._manifest["snapshot_seq"] += 1
+            self._manifest["stages"][stage] = {
+                "fingerprint": self.fingerprint,
+                "snapshot_id": self._manifest["snapshot_seq"],
+                "rows": n_rows,
+                "schema": schema.simpleString(),
+                # full schema for job-free resume reads (simpleString is
+                # for the human-facing lineage table; it is not
+                # round-trippable)
+                "schema_json": json.dumps(schema.jsonValue()),
+                "path": path,
+            }
+            self._save_manifest()
         return out
 
     def append(self, stage: str, df: DataFrame) -> DataFrame:

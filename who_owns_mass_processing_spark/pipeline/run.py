@@ -100,7 +100,10 @@ def run_pipeline(
             .withColumn("tier", F.lit("caption"))
         )
 
-    caption_pairs = roc("caption_pairs", _caption_pairs, upstream=("signatures", "ingest"))
+    # (submitted below, concurrently with the image tier — guide §2.6:
+    # the caption and image tiers share no inputs beyond the already-
+    # materialized signatures/ingest stages, so their stage jobs overlap
+    # and the image tier's tasks back-fill the caption tier's tail)
 
     # --- image tier -----------------------------------------------------------
     # Byte-identical images (exact web dups, the dominant dup class) are
@@ -118,7 +121,7 @@ def run_pipeline(
             .withColumn("tier", F.lit("image_exact"))
         )
 
-    image_exact_edges = roc("image_exact_edges", _image_exact_edges, upstream=("ingest",))
+    # (submitted below, concurrently with the caption tier)
 
     def _image_pairs() -> DataFrame:
         from who_owns_mass_processing_spark.functions.images import phash_combo_bands
@@ -172,7 +175,17 @@ def run_pipeline(
             .withColumn("tier", F.lit("image"))
         )
 
-    image_pairs = roc("image_pairs", _image_pairs, upstream=("ingest",))
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_cap = pool.submit(
+            roc, "caption_pairs", _caption_pairs, ("signatures", "ingest")
+        )
+        f_iee = pool.submit(roc, "image_exact_edges", _image_exact_edges, ("ingest",))
+        f_imp = pool.submit(roc, "image_pairs", _image_pairs, ("ingest",))
+        caption_pairs = f_cap.result()
+        image_exact_edges = f_iee.result()
+        image_pairs = f_imp.result()
 
     # --- edges + clustering ---------------------------------------------------
     def _edges() -> DataFrame:
@@ -208,7 +221,7 @@ def run_pipeline(
             "caption",
         )
 
-    clusters = roc("clusters", _clusters, upstream=("assignments", "ingest"))
+    # (submitted below, concurrently with the diagnostics rollup)
 
     # --- per-cluster over-merge diagnostics -----------------------------------
     # Reference analog: the over-inclusion audit summarizers
@@ -244,13 +257,18 @@ def run_pipeline(
             tier_values=("caption", "image", "image_exact"),
         )
 
-    cluster_diag = roc(
-        "cluster_diagnostics",
-        _cluster_diagnostics,
-        upstream=(
-            "assignments", "caption_pairs", "image_pairs", "image_exact_edges", "ingest"
-        ),
-    )
+    # clusters and the diagnostics rollup both consume only materialized
+    # stages — overlap their jobs (guide §2.6)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_clusters = pool.submit(roc, "clusters", _clusters, ("assignments", "ingest"))
+        f_diag = pool.submit(
+            roc,
+            "cluster_diagnostics",
+            _cluster_diagnostics,
+            ("assignments", "caption_pairs", "image_pairs", "image_exact_edges", "ingest"),
+        )
+        clusters = f_clusters.result()
+        cluster_diag = f_diag.result()
 
     # --- optional C7 second network round --------------------------------------
     # Reference analog: community detection over GROUP ids rather than row
@@ -267,28 +285,47 @@ def run_pipeline(
         from who_owns_mass_processing_spark.operators.network import network_round
 
         def _networks() -> DataFrame:
-            cap_cc = with_singletons(
-                ingested, "image_id",
-                connected_components(
-                    caption_pairs.select("a", "b").distinct(),
-                    max_iterations=cfg.cc_max_iterations,
-                    checkpoint_every=cfg.cc_checkpoint_every,
-                ),
-            ).select(F.col("node").alias("image_id"), F.col("component").alias("caption_cluster"))
-            img_edges = (
-                image_pairs.select("a", "b")
-                .unionByName(image_exact_edges.select("a", "b"))
-                .distinct()
-            )
-            img_cc = with_singletons(
-                ingested, "image_id",
-                connected_components(
-                    img_edges,
-                    max_iterations=cfg.cc_max_iterations,
-                    checkpoint_every=cfg.cc_checkpoint_every,
-                ),
-            ).select(F.col("node").alias("image_id"), F.col("component").alias("image_cluster"))
-            rows = cap_cc.join(img_cc, "image_id")
+            # the two per-tier CC fixpoints are independent driver-sync
+            # loops over disjoint edge sets — run them from two driver
+            # threads so their (small, barrier-heavy) iteration jobs
+            # interleave on the idle cores (guide §2.6)
+            def _cap_cc() -> DataFrame:
+                return with_singletons(
+                    ingested, "image_id",
+                    connected_components(
+                        caption_pairs.select("a", "b").distinct(),
+                        max_iterations=cfg.cc_max_iterations,
+                        checkpoint_every=cfg.cc_checkpoint_every,
+                    ),
+                ).select(
+                    F.col("node").alias("image_id"),
+                    F.col("component").alias("caption_cluster"),
+                )
+
+            def _img_cc() -> DataFrame:
+                img_edges = (
+                    image_pairs.select("a", "b")
+                    .unionByName(image_exact_edges.select("a", "b"))
+                    .distinct()
+                )
+                return with_singletons(
+                    ingested, "image_id",
+                    connected_components(
+                        img_edges,
+                        max_iterations=cfg.cc_max_iterations,
+                        checkpoint_every=cfg.cc_checkpoint_every,
+                    ),
+                ).select(
+                    F.col("node").alias("image_id"),
+                    F.col("component").alias("image_cluster"),
+                )
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as cc_pool:
+                f_cap_cc = cc_pool.submit(_cap_cc)
+                f_img_cc = cc_pool.submit(_img_cc)
+                rows = f_cap_cc.result().join(f_img_cc.result(), "image_id")
             return network_round(rows, ["caption_cluster", "image_cluster"])
 
         networks = roc(
@@ -335,12 +372,18 @@ def run_pipeline(
 
     def _metrics() -> DataFrame:
         # counts come from the stage manifests (recorded at write time)
-        # — zero extra jobs whether resumed or fresh
+        # — zero extra jobs whether resumed or fresh.  Built as a pure
+        # JVM VALUES relation: createDataFrame of driver-local rows
+        # parallelizes into defaultParallelism python-arrow slices, and
+        # evaluating/writing that plan costs seconds of per-slice python
+        # round-trips for a 4-row table (measured 2.6 s of the pipeline
+        # bench); the VALUES form is a LocalTableScan, ~0.2 s.
         rows = [
             (s, cat.rows(s))
             for s in ("caption_pairs", "image_pairs", "edges", "clusters")
         ]
-        return spark.createDataFrame(rows, "stage string, rows long")
+        vals = ", ".join(f"('{s}', {int(n)}L)" for s, n in rows)
+        return spark.sql(f"SELECT stage, rows FROM VALUES {vals} AS t(stage, rows)")
 
     metrics = roc(
         "metrics", _metrics, upstream=("caption_pairs", "image_pairs", "edges", "clusters")
