@@ -321,10 +321,18 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_dedup_cc_assignments(spark, sf_dir):
-    """Full dedup chain: LSH pairs -> connected components -> singletons."""
+    """Full dedup chain: LSH edges -> connected components -> singletons.
+
+    CC consumes the connectivity-only edge list (`lsh_near_dup_edges`:
+    rep-level LSH pairs + linear star edges for exact-dup families) —
+    the documented scale shape, with the SAME transitive closure as the
+    quadratic pair listing (star edges connect a group, rep pairs
+    connect groups), so assignments are identical (oracle hash-checked;
+    the r6 restructure dropped the member-expansion joins and the
+    within-group pair listing that CC never needed)."""
     d = _t(spark, sf_dir, "documents")
-    pairs, _ = D.lsh_near_dup_pairs(d, "doc_id", "text", CFG)
-    cc = connected_components(pairs.select("a", "b"))
+    edges, _ = D.lsh_near_dup_edges(d, "doc_id", "text", CFG)
+    cc = connected_components(edges.select("a", "b"))
     out = C.with_singletons(d.select("doc_id"), "doc_id", cc)
     return out.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")

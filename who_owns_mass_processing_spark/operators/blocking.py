@@ -295,6 +295,16 @@ def candidate_pairs(
     # singleton filter.
     sizes = bucket_sizes(bands_df)
     census = sizes.where(F.col("bucket_n") >= 2).localCheckpoint(eager=True)
+    # one tiny job over the CHECKPOINTED census decides the plan shape:
+    # when no live bucket exceeds the salt cap there are no split
+    # buckets, the cross-cell join is provably empty, and the cell table
+    # has exactly ONE consumer — its eager localCheckpoint (a full
+    # materialization barrier per tier, ~1 s at bench scale) is skipped
+    # and within-pairs stream straight out of the cell aggregation.
+    # Salted corpora keep the checkpointed three-consumer shape.
+    has_salted = not census.where(
+        (F.col("bucket_n") > cap) & (F.col("bucket_n") <= hard_cap)
+    ).isEmpty()
 
     tagged = bands_df.join(census, ["band_id", "band_hash"]).where(
         F.col("bucket_n") <= hard_cap
@@ -307,12 +317,13 @@ def candidate_pairs(
         .cast("int"),
     )
     # ONE pass builds every cell (normal buckets are m=1 cells); eager
-    # checkpoint: feeds within-pairs once and cross-pairs twice
-    cells = (
-        salted.groupBy("band_id", "band_hash", "m", "salt")
-        .agg(F.sort_array(F.collect_list(item)).alias("items"))
-        .localCheckpoint(eager=True)
+    # checkpoint only when cross-pairs exist (then it feeds within-pairs
+    # once and cross-pairs twice)
+    cells = salted.groupBy("band_id", "band_hash", "m", "salt").agg(
+        F.sort_array(F.collect_list(item)).alias("items")
     )
+    if has_salted:
+        cells = cells.localCheckpoint(eager=True)
 
     id_type = bands_df.schema[id_col].dataType.simpleString()
     if id_type in _VEC_ID_TYPES and (pair_predicate is None or pair_predicate_np is not None):
@@ -341,7 +352,7 @@ def candidate_pairs(
     )
 
     pairs = (
-        within.unionByName(cross)
+        (within.unionByName(cross) if has_salted else within)
         .groupBy("a", "b")
         .agg(F.lit(1).alias("_one"))
         .drop("_one")

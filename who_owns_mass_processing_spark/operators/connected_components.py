@@ -42,10 +42,24 @@ def connected_components(
     Node ids may be any orderable type (string image_ids work).
     """
     # materialize the (static) undirected edge list once — every iteration
-    # joins against it, so it must not drag the upstream plan along
+    # joins against it, so it must not drag the upstream plan along.
+    # Both directions come from ONE pass over `edges` (explode of a
+    # 2-element struct array), never a self-union: two references to the
+    # upstream plan are only deduplicated by ReuseExchange when the plan
+    # happens to end in an exchange — an edge list ending in a
+    # projection (e.g. the linear star-edge tier) would be fully
+    # recomputed per branch (measured: 2x the whole LSH chain per CC
+    # call at sf0.1).
     und = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -59,7 +73,8 @@ def connected_components(
             .join(labels, "node", "left")
             .select("node", F.coalesce("label", "node").alias("label"))
         )
-    labels = labels.localCheckpoint(eager=True)
+    # labels derive from the checkpointed `und` (plus the optional nodes
+    # side) with one cheap aggregation — no second eager barrier needed
 
     # Driver-sync cost dominates this loop at bench scale (round-1 bench:
     # an eager localCheckpoint + a convergence collect EVERY iteration was
