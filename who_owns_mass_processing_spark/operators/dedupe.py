@@ -8,7 +8,7 @@ and the cosine block-verify-cluster chain (:313-378).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from who_owns_mass_processing_spark.config import DedupeConfig
@@ -131,12 +131,17 @@ def rep_pairs_from_sigs(
     original ids doubles as the fingerprint-attach join the output
     needed anyway, so the surrogate path adds ZERO extra joins.
     """
-    reps = sigs.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    # checkpoint (inside with_surrogate_ids): rep_sigs feeds banding AND
-    # the verify join — without it the groupBy+semi-join recomputes per
-    # consumer; it also pins the surrogate-id assignment
+    # rep per fingerprint = min-id row, selected with ONE shuffle (window
+    # rank over the fingerprint partition) — the previous groupBy-then-
+    # semi-join shape shuffled the signature table twice for the same
+    # selection.  The checkpoint (inside with_surrogate_ids) pins the
+    # result for banding AND the verify join, and pins the surrogate-id
+    # assignment.
+    w_rep = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
     rep_sigs = with_surrogate_ids(
-        sigs.join(reps, [id_col, "fingerprint"], "left_semi")
+        sigs.withColumn("_rn", F.row_number().over(w_rep))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
     # stop threshold scales with the corpus; callers that already know the
     # row count pass it and skip a count job (one fewer barrier per call —
@@ -376,12 +381,15 @@ def containment_pairs_lsh(
     n_bands, n_rows = solve_bands(cfg.num_perm, j_floor, min_recall)
 
     sigs = minhash_signatures(df, id_col, text_col, cfg)
-    reps = sigs.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
     # blocking + verify ride the 8-byte surrogate id (VERDICT r4 #1);
     # rep-level verdicts leave this scope keyed by FINGERPRINT, so no
-    # separate decode join is needed
+    # separate decode join is needed.  Rep selection = one window
+    # shuffle (see rep_pairs_from_sigs).
+    w_rep = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
     rep_sigs = with_surrogate_ids(
-        sigs.join(reps, [id_col, "fingerprint"], "left_semi")
+        sigs.withColumn("_rn", F.row_number().over(w_rep))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
     bands = band_explode(rep_sigs, "minhash", "_sid", n_bands, n_rows)
     cands, metrics = candidate_pairs(
