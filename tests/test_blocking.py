@@ -83,3 +83,43 @@ def test_surrogate_ids_bit_identical_pairs(spark):
     )
     norm = {tuple(sorted(t)) for t in map(tuple, ordered.toPandas().values)}
     assert norm == {tuple(sorted(t)) for t in want}
+
+
+def test_mapside_verify_matches_join_path(spark):
+    """The broadcast map-side verify (numpy gates + exact intersect +
+    Spark-identical rounding) must emit exactly the join path's rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from who_owns_mass_processing_spark.config import DedupeConfig
+    from who_owns_mass_processing_spark.functions.minhash import band_explode
+    from who_owns_mass_processing_spark.operators import verify as V
+    from who_owns_mass_processing_spark.operators.blocking import (
+        candidate_pairs,
+        with_surrogate_ids,
+    )
+    from who_owns_mass_processing_spark.operators.dedupe import minhash_signatures
+
+    cfg = DedupeConfig(bands=32)
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = minhash_signatures(d, "doc_id", "text", cfg)
+    w = Window.partitionBy("fingerprint").orderBy(F.col("doc_id").asc())
+    rep_sigs = with_surrogate_ids(
+        sigs.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+    n = rep_sigs.count()
+    bands = band_explode(rep_sigs, "minhash", "_sid", cfg.bands, cfg.rows_per_band)
+    cands, _ = candidate_pairs(
+        bands, "_sid", cap=cfg.band_bucket_cap, hard_cap=cfg.stop_band_threshold(n)
+    )
+    cands = cands.localCheckpoint(eager=True)
+    feats = rep_sigs.select("_sid", "codes", "minhash")
+    kwargs = dict(minhash_col="minhash", num_perm=cfg.num_perm)
+    slow = V.verify_jaccard(cands, feats, "_sid", "codes", cfg.jaccard_threshold, **kwargs)
+    fast = V.verify_jaccard(
+        cands, feats, "_sid", "codes", cfg.jaccard_threshold, features_rows=n, **kwargs
+    )
+    assert "MapInArrow" in fast._jdf.queryExecution().executedPlan().toString()
+    assert slow.exceptAll(fast).count() == 0
+    assert fast.exceptAll(slow).count() == 0
+    assert fast.count() > 0

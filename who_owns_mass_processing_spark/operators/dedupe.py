@@ -160,6 +160,9 @@ def rep_pairs_from_sigs(
         cfg.jaccard_threshold,
         minhash_col="minhash",
         num_perm=cfg.num_perm,
+        # n_rows upper-bounds the rep count: enables the broadcast
+        # map-side verify on bounded corpora (join path above the bound)
+        features_rows=n_rows,
     )
     # decode surrogates AND attach rep fingerprints in the same two joins;
     # (a, b) re-normalized to original-id order with fps swapped in step

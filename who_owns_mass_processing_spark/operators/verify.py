@@ -19,11 +19,120 @@ plain equi-join AQE can re-plan.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from who_owns_mass_processing_spark.functions.images import psnr_pair_udf
 from who_owns_mass_processing_spark.functions.text import jaccard_arrays
+
+# Map-side verify engages only when the feature table is PROVABLY this
+# small (caller-supplied row bound): ~100k rows of codes+minhash is a
+# few hundred MB broadcast — the same magnitude Spark itself allows a
+# broadcast hash join.  Larger corpora take the equi-join path, which
+# is the correct 100-TB shape (features cannot be resident per worker).
+BROADCAST_VERIFY_MAX_ROWS = 100_000
+
+
+def _spark_round6(x: np.ndarray) -> np.ndarray:
+    """Spark's round(double, 6) (BigDecimal HALF_UP) for the Jaccard
+    rationals: floor(x*1e6 + 0.5 + 1e-9)/1e6.  Exact-equivalence
+    argument: J = I/U with U = |A∪B|; the fractional part of J*1e6 is
+    either exactly .5 (then the 1e-9 bump rounds up = HALF_UP) or at
+    least 1/(2U) >= 5e-9 away from .5 for U up to 1e8 — far beyond the
+    float64 error (~1e-10 at this scale) plus the bump."""
+    return np.floor(x * 1e6 + 0.5 + 1e-9) / 1e6
+
+
+def _verify_jaccard_mapside(
+    pairs: DataFrame,
+    features: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold: float,
+    minhash_col: str,
+    num_perm: int,
+    gate: float,
+    ratio_floor: float,
+) -> DataFrame:
+    """Broadcast map-side twin of the join-path verify (guide §3.1/§4.2):
+    the feature table (surrogate id, sorted shingle codes, minhash) is
+    collected once from its checkpoint, shipped as numpy arrays, and one
+    mapInArrow pass over the bare (a, b) candidate pairs fuses the
+    size-ratio gate, the minhash estimate gate, the exact sorted-array
+    intersect, and Spark-identical rounding — no per-pair join, no
+    interpreted higher-order expressions, and only 16 bytes/pair cross
+    the Python boundary.  Emits exactly the join path's rows (gate
+    constants and float compares are bit-identical IEEE ops; pinned in
+    tests/test_blocking.py)."""
+    import pyarrow as pa
+
+    pdf = features.select(id_col, shingle_col, minhash_col).toPandas()
+    sids = pdf[id_col].to_numpy().astype(np.int64)
+    order = np.argsort(sids)
+    sids_s = sids[order]
+    mh = np.array([np.asarray(v, dtype=np.int64) for v in pdf[minhash_col]], dtype=np.int64)[order]
+    codes_cells = [np.asarray(c, dtype=np.int64) for c in pdf[shingle_col]]
+    codes_cells = [codes_cells[i] for i in order]
+    lens = np.array([len(c) for c in codes_cells], dtype=np.int64)
+    flat = (
+        np.concatenate(codes_cells) if int(lens.sum()) else np.empty(0, dtype=np.int64)
+    )
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    bvar = pairs.sparkSession.sparkContext.broadcast((sids_s, mh, offs, flat, lens))
+    thr = float(threshold)
+    nperm = float(num_perm)
+
+    def gen(batches):
+        sids_b, mh_b, offs_b, flat_b, lens_b = bvar.value
+        for batch in batches:
+            a = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(a) == 0:
+                continue
+            ia = np.searchsorted(sids_b, a)
+            ib = np.searchsorted(sids_b, b)
+            na = lens_b[ia]
+            nb = lens_b[ib]
+            keep = np.minimum(na, nb).astype(np.float64) >= ratio_floor * np.maximum(
+                na, nb
+            ).astype(np.float64)
+            est = (mh_b[ia] == mh_b[ib]).sum(axis=1) / nperm
+            keep &= est >= gate
+            out_a: list[int] = []
+            out_b: list[int] = []
+            out_j: list[float] = []
+            for i in np.nonzero(keep)[0].tolist():
+                # codes are sorted in UNSIGNED order before the int64
+                # store (signature_udf sorts the uint64 shingle codes) —
+                # reinterpret the bits so searchsorted sees that order
+                A = flat_b[offs_b[ia[i]] : offs_b[ia[i] + 1]].view(np.uint64)
+                B = flat_b[offs_b[ib[i]] : offs_b[ib[i] + 1]].view(np.uint64)
+                if len(A) > len(B):
+                    A, B = B, A
+                if len(B) == 0:
+                    inter = 0
+                else:
+                    pos = np.searchsorted(B, A)
+                    inter = int((B[np.minimum(pos, len(B) - 1)] == A).sum())
+                union = int(na[i]) + int(nb[i]) - inter
+                j = 1.0 if union <= 0 else inter / union
+                jr = float(_spark_round6(np.float64(j)))
+                if jr >= thr:
+                    out_a.append(int(a[i]))
+                    out_b.append(int(b[i]))
+                    out_j.append(jr)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_a, type=pa.int64()),
+                    pa.array(out_b, type=pa.int64()),
+                    pa.array(out_j, type=pa.float64()),
+                ],
+                ["a", "b", "jaccard"],
+            )
+
+    return pairs.select("a", "b").mapInArrow(gen, "a bigint, b bigint, jaccard double")
 
 
 def verify_jaccard(
@@ -35,6 +144,7 @@ def verify_jaccard(
     minhash_col: str | None = None,
     num_perm: int | None = None,
     gate_sigmas: float = 6.5,
+    features_rows: int | None = None,
 ) -> DataFrame:
     """pairs(a,b) x features(id, shingles) -> (a, b, jaccard) passing rows.
 
@@ -66,6 +176,23 @@ def verify_jaccard(
 
     def _ratio_ok(na, nb):
         return F.least(na, nb).cast("double") >= ratio_floor * F.greatest(na, nb).cast("double")
+
+    # map-side fast path: bounded feature table + long surrogate ids →
+    # broadcast numpy verify (gates + exact intersect fused, no joins).
+    # `features_rows` is a caller-supplied UPPER BOUND on the feature
+    # row count; corpora above the bound keep the equi-join shape.
+    if (
+        minhash_col is not None
+        and num_perm
+        and features_rows is not None
+        and features_rows <= BROADCAST_VERIFY_MAX_ROWS
+        and features.schema[id_col].dataType.simpleString() == "bigint"
+    ):
+        gate = threshold - gate_sigmas * (threshold * (1 - threshold) / num_perm) ** 0.5
+        return _verify_jaccard_mapside(
+            pairs, features, id_col, shingle_col, threshold,
+            minhash_col, num_perm, gate, float(threshold) - 1e-6,
+        )
 
     if minhash_col is not None and num_perm:
         gate = threshold - gate_sigmas * (threshold * (1 - threshold) / num_perm) ** 0.5
