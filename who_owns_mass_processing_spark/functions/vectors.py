@@ -176,15 +176,73 @@ def ann_lsh_pairs(
     # explode; the table itself is (id, int, long) — tiny
     b = b.localCheckpoint(eager=True)
     cands, _metrics = candidate_pairs(b, id_col, cap=cap, hard_cap=hard_cap)
-    fa = slim.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
-    fb = slim.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
-    cos_udf = cosine_pair_udf()
+    # map-side exact-cosine verify for bounded corpora: the vector
+    # matrix broadcasts (same bound class as a Spark BHJ build side) and
+    # one mapInArrow gather computes the IDENTICAL einsum the pair UDF
+    # ran — but without the two feature joins or shipping two vectors
+    # per candidate through Arrow (only 16 bytes/pair cross).  Rounding
+    # and the threshold filter STAY in Spark, so emitted values are
+    # bit-identical to the join path.  Larger corpora keep the join
+    # shape (features cannot be worker-resident at scale).
+    n_corpus = slim.count()
+    if (
+        n_corpus <= 100_000
+        and n_corpus * int(sample["d"]) <= 12_500_000
+        and df.schema[id_col].dataType.simpleString() == "bigint"
+    ):
+        scored = _cosine_pairs_mapside(cands, slim, id_col, vec_col)
+    else:
+        fa = slim.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+        fb = slim.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+        cos_udf = cosine_pair_udf()
+        scored = (
+            cands.join(fa, "a")
+            .join(fb, "b")
+            .select("a", "b", cos_udf(F.col("_va"), F.col("_vb")).alias("_cos"))
+        )
     return (
-        cands.join(fa, "a")
-        .join(fb, "b")
-        .select("a", "b", F.round(cos_udf(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"))
+        scored.select("a", "b", F.round(F.col("_cos"), 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def _cosine_pairs_mapside(
+    cands: DataFrame, slim: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(a, b) candidate pairs -> (a, b, _cos) via a broadcast (n, dim)
+    matrix gather — the numpy math is the same einsum as
+    `cosine_pair_udf`, so values are bit-identical."""
+    import pyarrow as pa
+
+    pdf = slim.toPandas()
+    ids = pdf[id_col].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    ids_s = ids[order]
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]], dtype=np.float64)[order]
+    bvar = cands.sparkSession.sparkContext.broadcast((ids_s, mat))
+
+    def gen(batches):
+        ids_b, mat_b = bvar.value
+        for batch in batches:
+            a = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(a) == 0:
+                continue
+            va = mat_b[np.searchsorted(ids_b, a)]
+            vb = mat_b[np.searchsorted(ids_b, b)]
+            num = np.einsum("ij,ij->i", va, vb)
+            na = np.sqrt(np.einsum("ij,ij->i", va, va))
+            nb = np.sqrt(np.einsum("ij,ij->i", vb, vb))
+            den = na * nb
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = np.where(den > 0, num / den, 0.0)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(a, type=pa.int64()), pa.array(b, type=pa.int64()),
+                 pa.array(out, type=pa.float64())],
+                ["a", "b", "_cos"],
+            )
+
+    return cands.select("a", "b").mapInArrow(gen, "a bigint, b bigint, _cos double")
 
 
 def ann_topk_bruteforce(

@@ -398,25 +398,39 @@ def containment_pairs_lsh(
     cands, metrics = candidate_pairs(
         bands, "_sid", cap=cfg.band_bucket_cap, hard_cap=cfg.band_bucket_hard_cap
     )
-    ca = rep_sigs.select(F.col("_sid").alias("a"), F.col("codes").alias("_ca"))
-    cb = rep_sigs.select(F.col("_sid").alias("b"), F.col("codes").alias("_cb"))
-    joined = (
-        cands.join(ca, "a")
-        .join(cb, "b")
-        .select(
-            "a", "b", "_ca", "_cb",
-            F.size(F.array_intersect("_ca", "_cb")).cast("double").alias("_inter"),
+    from who_owns_mass_processing_spark.operators.verify import (
+        BROADCAST_VERIFY_MAX_ROWS,
+        containment_verify_mapside,
+    )
+
+    n_reps = rep_sigs.count()  # checkpointed: a cheap RDD count
+    if n_reps <= BROADCAST_VERIFY_MAX_ROWS:
+        # broadcast map-side verify (same bound class + exactness
+        # argument as the Jaccard tier's, operators/verify.py): one
+        # Arrow pass emits both containment directions
+        rep_hits = containment_verify_mapside(
+            cands, rep_sigs.select("_sid", "codes"), "_sid", "codes", threshold
         )
-    )
-    fwd = joined.where(F.size("_ca") > 0).select(
-        F.col("a").alias("ra"), F.col("b").alias("rb"),
-        F.round(F.col("_inter") / F.size("_ca").cast("double"), 6).alias("containment"),
-    )
-    bwd = joined.where(F.size("_cb") > 0).select(
-        F.col("b").alias("ra"), F.col("a").alias("rb"),
-        F.round(F.col("_inter") / F.size("_cb").cast("double"), 6).alias("containment"),
-    )
-    rep_hits = fwd.unionByName(bwd).where(F.col("containment") >= threshold)
+    else:
+        ca = rep_sigs.select(F.col("_sid").alias("a"), F.col("codes").alias("_ca"))
+        cb = rep_sigs.select(F.col("_sid").alias("b"), F.col("codes").alias("_cb"))
+        joined = (
+            cands.join(ca, "a")
+            .join(cb, "b")
+            .select(
+                "a", "b", "_ca", "_cb",
+                F.size(F.array_intersect("_ca", "_cb")).cast("double").alias("_inter"),
+            )
+        )
+        fwd = joined.where(F.size("_ca") > 0).select(
+            F.col("a").alias("ra"), F.col("b").alias("rb"),
+            F.round(F.col("_inter") / F.size("_ca").cast("double"), 6).alias("containment"),
+        )
+        bwd = joined.where(F.size("_cb") > 0).select(
+            F.col("b").alias("ra"), F.col("a").alias("rb"),
+            F.round(F.col("_inter") / F.size("_cb").cast("double"), 6).alias("containment"),
+        )
+        rep_hits = fwd.unionByName(bwd).where(F.col("containment") >= threshold)
     # expand rep-level verdicts to members (identical text => identical
     # shingle sets => identical containment) + ordered within-group pairs;
     # surrogate rep ids resolve to fingerprints here (the member join key)

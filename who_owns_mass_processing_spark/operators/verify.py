@@ -135,6 +135,88 @@ def _verify_jaccard_mapside(
     return pairs.select("a", "b").mapInArrow(gen, "a bigint, b bigint, jaccard double")
 
 
+def containment_verify_mapside(
+    pairs: DataFrame,
+    features: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Broadcast map-side twin of the containment verify: for each
+    candidate (a, b) emit BOTH ordered directions (ra, rb, containment)
+    with containment = |A∩B|/|A| rounded like Spark's round(double, 6)
+    and filtered at `threshold` — exactly the join path's rows (empty-
+    codes sides emit nothing, matching the size(_c)>0 guards; the
+    rounding exactness argument is `_spark_round6`'s rational-gap one,
+    denominators here are single-doc shingle counts)."""
+    import pyarrow as pa
+
+    pdf = features.select(id_col, shingle_col).toPandas()
+    sids = pdf[id_col].to_numpy().astype(np.int64)
+    order = np.argsort(sids)
+    sids_s = sids[order]
+    codes_cells = [np.asarray(c, dtype=np.int64) for c in pdf[shingle_col]]
+    codes_cells = [codes_cells[i] for i in order]
+    lens = np.array([len(c) for c in codes_cells], dtype=np.int64)
+    flat = (
+        np.concatenate(codes_cells) if int(lens.sum()) else np.empty(0, dtype=np.int64)
+    )
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    bvar = pairs.sparkSession.sparkContext.broadcast((sids_s, offs, flat, lens))
+    thr = float(threshold)
+
+    def gen(batches):
+        sids_b, offs_b, flat_b, lens_b = bvar.value
+        for batch in batches:
+            a = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(a) == 0:
+                continue
+            ia = np.searchsorted(sids_b, a)
+            ib = np.searchsorted(sids_b, b)
+            out_ra: list[int] = []
+            out_rb: list[int] = []
+            out_c: list[float] = []
+            for i in range(len(a)):
+                na = int(lens_b[ia[i]])
+                nb = int(lens_b[ib[i]])
+                if na == 0 and nb == 0:
+                    continue
+                A = flat_b[offs_b[ia[i]] : offs_b[ia[i] + 1]].view(np.uint64)
+                B = flat_b[offs_b[ib[i]] : offs_b[ib[i] + 1]].view(np.uint64)
+                S, L = (A, B) if len(A) <= len(B) else (B, A)
+                if len(L) == 0:
+                    inter = 0
+                else:
+                    pos = np.searchsorted(L, S)
+                    inter = int((L[np.minimum(pos, len(L) - 1)] == S).sum())
+                if na > 0:
+                    c = float(_spark_round6(np.float64(inter / na)))
+                    if c >= thr:
+                        out_ra.append(int(a[i]))
+                        out_rb.append(int(b[i]))
+                        out_c.append(c)
+                if nb > 0:
+                    c = float(_spark_round6(np.float64(inter / nb)))
+                    if c >= thr:
+                        out_ra.append(int(b[i]))
+                        out_rb.append(int(a[i]))
+                        out_c.append(c)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ra, type=pa.int64()),
+                    pa.array(out_rb, type=pa.int64()),
+                    pa.array(out_c, type=pa.float64()),
+                ],
+                ["ra", "rb", "containment"],
+            )
+
+    return pairs.select("a", "b").mapInArrow(
+        gen, "ra bigint, rb bigint, containment double"
+    )
+
+
 def verify_jaccard(
     pairs: DataFrame,
     features: DataFrame,
