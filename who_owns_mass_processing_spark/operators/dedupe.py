@@ -322,18 +322,32 @@ def winnow_pairs(
         F.explode("_fps").alias("_g"),
     ).select("_sid", "band_id", F.xxhash64("_g").alias("band_hash"))
     cands, metrics = candidate_pairs(bands, "_sid", cap=cap, hard_cap=hard_cap)
-    fa = fps.select(F.col("_sid").alias("a"), F.col("_fps").alias("_fa"))
-    fb = fps.select(F.col("_sid").alias("b"), F.col("_fps").alias("_fb"))
-    sid_pairs = (
-        cands.join(fa, "a")
-        .join(fb, "b")
-        .select(
-            "a",
-            "b",
-            F.size(F.array_intersect("_fa", "_fb")).cast("long").alias("n_shared"),
-        )
-        .where(F.col("n_shared") >= F.lit(int(min_shared)))
+    from who_owns_mass_processing_spark.operators.verify import (
+        BROADCAST_VERIFY_MAX_ROWS,
+        winnow_verify_mapside,
     )
+
+    sid_pairs = None
+    if fps.count() <= BROADCAST_VERIFY_MAX_ROWS:  # checkpointed: cheap count
+        # broadcast map-side verify (operators/verify.py): fingerprints
+        # pack into order-preserving uint64, intersect counts are
+        # integers — exact; None = k > 8 or bytes over the cap
+        sid_pairs = winnow_verify_mapside(
+            cands, fps.select("_sid", "_fps"), "_sid", "_fps", k, int(min_shared)
+        )
+    if sid_pairs is None:
+        fa = fps.select(F.col("_sid").alias("a"), F.col("_fps").alias("_fa"))
+        fb = fps.select(F.col("_sid").alias("b"), F.col("_fps").alias("_fb"))
+        sid_pairs = (
+            cands.join(fa, "a")
+            .join(fb, "b")
+            .select(
+                "a",
+                "b",
+                F.size(F.array_intersect("_fa", "_fb")).cast("long").alias("n_shared"),
+            )
+            .where(F.col("n_shared") >= F.lit(int(min_shared)))
+        )
     pairs = decode_pair_ids(sid_pairs, fps.select("_sid", id_col), id_col)
     return pairs, metrics
 
@@ -404,14 +418,16 @@ def containment_pairs_lsh(
     )
 
     n_reps = rep_sigs.count()  # checkpointed: a cheap RDD count
+    rep_hits = None
     if n_reps <= BROADCAST_VERIFY_MAX_ROWS:
         # broadcast map-side verify (same bound class + exactness
         # argument as the Jaccard tier's, operators/verify.py): one
-        # Arrow pass emits both containment directions
+        # Arrow pass emits both containment directions; None = the
+        # collected bytes exceeded the broadcast cap -> join path
         rep_hits = containment_verify_mapside(
             cands, rep_sigs.select("_sid", "codes"), "_sid", "codes", threshold
         )
-    else:
+    if rep_hits is None:
         ca = rep_sigs.select(F.col("_sid").alias("a"), F.col("codes").alias("_ca"))
         cb = rep_sigs.select(F.col("_sid").alias("b"), F.col("codes").alias("_cb"))
         joined = (

@@ -31,7 +31,12 @@ from who_owns_mass_processing_spark.functions.text import jaccard_arrays
 # few hundred MB broadcast — the same magnitude Spark itself allows a
 # broadcast hash join.  Larger corpora take the equi-join path, which
 # is the correct 100-TB shape (features cannot be resident per worker).
+# After collection the ACTUAL byte size is checked too (the row bound
+# cannot see array widths; every reused python worker holds one copy of
+# the broadcast value): above the byte cap the join path runs and the
+# collect is written off.
 BROADCAST_VERIFY_MAX_ROWS = 100_000
+BROADCAST_VERIFY_MAX_BYTES = 256 * 1024 * 1024
 
 
 def _spark_round6(x: np.ndarray) -> np.ndarray:
@@ -54,7 +59,7 @@ def _verify_jaccard_mapside(
     num_perm: int,
     gate: float,
     ratio_floor: float,
-) -> DataFrame:
+) -> DataFrame | None:
     """Broadcast map-side twin of the join-path verify (guide §3.1/§4.2):
     the feature table (surrogate id, sorted shingle codes, minhash) is
     collected once from its checkpoint, shipped as numpy arrays, and one
@@ -78,6 +83,8 @@ def _verify_jaccard_mapside(
     flat = (
         np.concatenate(codes_cells) if int(lens.sum()) else np.empty(0, dtype=np.int64)
     )
+    if flat.nbytes + mh.nbytes > BROADCAST_VERIFY_MAX_BYTES:
+        return None  # caller falls back to the join path
     offs = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
     bvar = pairs.sparkSession.sparkContext.broadcast((sids_s, mh, offs, flat, lens))
@@ -141,7 +148,7 @@ def containment_verify_mapside(
     id_col: str,
     shingle_col: str,
     threshold: float,
-) -> DataFrame:
+) -> DataFrame | None:
     """Broadcast map-side twin of the containment verify: for each
     candidate (a, b) emit BOTH ordered directions (ra, rb, containment)
     with containment = |A∩B|/|A| rounded like Spark's round(double, 6)
@@ -161,6 +168,8 @@ def containment_verify_mapside(
     flat = (
         np.concatenate(codes_cells) if int(lens.sum()) else np.empty(0, dtype=np.int64)
     )
+    if flat.nbytes > BROADCAST_VERIFY_MAX_BYTES:
+        return None  # caller falls back to the join path
     offs = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
     bvar = pairs.sparkSession.sparkContext.broadcast((sids_s, offs, flat, lens))
@@ -214,6 +223,88 @@ def containment_verify_mapside(
 
     return pairs.select("a", "b").mapInArrow(
         gen, "ra bigint, rb bigint, containment double"
+    )
+
+
+def winnow_verify_mapside(
+    pairs: DataFrame,
+    features: DataFrame,
+    id_col: str,
+    fps_col: str,
+    k: int,
+    min_shared: int,
+) -> DataFrame | None:
+    """Broadcast map-side twin of the winnow-pair verify: n_shared =
+    |fps_a ∩ fps_b| over the per-doc fingerprint sets, filtered at
+    min_shared — an integer count, no rounding concerns.  Fingerprints
+    are k-char grams (k <= 8 required): each packs into a big-endian
+    uint64 preserving lexicographic order, so the sorted string arrays
+    stay sorted as codes and the intersect is the same searchsorted
+    merge the Jaccard tier uses."""
+    import pyarrow as pa
+
+    if k > 8:
+        return None
+    pdf = features.select(id_col, fps_col).toPandas()
+    sids = pdf[id_col].to_numpy().astype(np.int64)
+    order = np.argsort(sids)
+    sids_s = sids[order]
+
+    def pack(grams: list) -> np.ndarray:
+        if len(grams) == 0:
+            return np.empty(0, dtype=np.uint64)
+        buf = np.frombuffer("".join(grams).encode("ascii"), dtype=np.uint8)
+        wide = np.zeros((len(grams), 8), dtype=np.uint8)
+        wide[:, :k] = buf.reshape(len(grams), k)
+        return wide.view(np.dtype(">u8")).ravel().astype(np.uint64)
+
+    cells = [pack(list(pdf[fps_col].iloc[i])) for i in order]
+    lens = np.array([len(c) for c in cells], dtype=np.int64)
+    flat = np.concatenate(cells) if int(lens.sum()) else np.empty(0, dtype=np.uint64)
+    if flat.nbytes > BROADCAST_VERIFY_MAX_BYTES:
+        return None
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    bvar = pairs.sparkSession.sparkContext.broadcast((sids_s, offs, flat, lens))
+    ms = int(min_shared)
+
+    def gen(batches):
+        sids_b, offs_b, flat_b, lens_b = bvar.value
+        for batch in batches:
+            a = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(a) == 0:
+                continue
+            ia = np.searchsorted(sids_b, a)
+            ib = np.searchsorted(sids_b, b)
+            out_a: list[int] = []
+            out_b: list[int] = []
+            out_n: list[int] = []
+            for i in range(len(a)):
+                A = flat_b[offs_b[ia[i]] : offs_b[ia[i] + 1]]
+                B = flat_b[offs_b[ib[i]] : offs_b[ib[i] + 1]]
+                if len(A) > len(B):
+                    A, B = B, A
+                if len(B) == 0:
+                    inter = 0
+                else:
+                    pos = np.searchsorted(B, A)
+                    inter = int((B[np.minimum(pos, len(B) - 1)] == A).sum())
+                if inter >= ms:
+                    out_a.append(int(a[i]))
+                    out_b.append(int(b[i]))
+                    out_n.append(inter)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_a, type=pa.int64()),
+                    pa.array(out_b, type=pa.int64()),
+                    pa.array(out_n, type=pa.int64()),
+                ],
+                ["a", "b", "n_shared"],
+            )
+
+    return pairs.select("a", "b").mapInArrow(
+        gen, "a bigint, b bigint, n_shared bigint"
     )
 
 
@@ -271,10 +362,12 @@ def verify_jaccard(
         and features.schema[id_col].dataType.simpleString() == "bigint"
     ):
         gate = threshold - gate_sigmas * (threshold * (1 - threshold) / num_perm) ** 0.5
-        return _verify_jaccard_mapside(
+        fast = _verify_jaccard_mapside(
             pairs, features, id_col, shingle_col, threshold,
             minhash_col, num_perm, gate, float(threshold) - 1e-6,
         )
+        if fast is not None:  # None: collected bytes exceeded the cap
+            return fast
 
     if minhash_col is not None and num_perm:
         gate = threshold - gate_sigmas * (threshold * (1 - threshold) / num_perm) ** 0.5
