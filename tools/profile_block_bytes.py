@@ -70,8 +70,10 @@ def main() -> None:
         # most of a constant-prefix URL on the wire, but sort buffers,
         # spill working sets, and groupBy hash tables scale with the
         # uncompressed row, which is what binds at 100 TB
+        prior = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").strip()
+        nocomp = "spark.shuffle.compress=false;spark.shuffle.spill.compress=false"
         os.environ["SPARK_GRAFT_EXTRA_CONF"] = (
-            "spark.shuffle.compress=false;spark.shuffle.spill.compress=false"
+            f"{prior};{nocomp}" if prior else nocomp
         )
 
     from pyspark.sql import functions as F
@@ -296,7 +298,7 @@ def write_bench_section(out: dict) -> None:
     path = os.path.join(REPO, "BENCH.md")
     text = open(path).read()
     section = mark_begin + "\n" + render_section(out) + mark_end
-    if mark_begin in text:
+    if mark_begin in text and mark_end in text:
         text = text.split(mark_begin)[0] + section + text.split(mark_end)[1]
     else:
         anchor = "<!-- SUPPLEMENT-R4-FROZEN ("
