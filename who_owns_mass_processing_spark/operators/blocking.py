@@ -295,16 +295,27 @@ def candidate_pairs(
     # singleton filter.
     sizes = bucket_sizes(bands_df)
     census = sizes.where(F.col("bucket_n") >= 2).localCheckpoint(eager=True)
-    # one tiny job over the CHECKPOINTED census decides the plan shape:
-    # when no live bucket exceeds the salt cap there are no split
+    # ONE tiny job over the CHECKPOINTED census decides the plan shape:
+    # (a) when no live bucket exceeds the salt cap there are no split
     # buckets, the cross-cell join is provably empty, and the cell table
     # has exactly ONE consumer — its eager localCheckpoint (a full
     # materialization barrier per tier, ~1 s at bench scale) is skipped
-    # and within-pairs stream straight out of the cell aggregation.
-    # Salted corpora keep the checkpointed three-consumer shape.
-    has_salted = not census.where(
-        (F.col("bucket_n") > cap) & (F.col("bucket_n") <= hard_cap)
-    ).isEmpty()
+    # and within-pairs stream straight out of the cell aggregation
+    # (salted corpora keep the checkpointed three-consumer shape);
+    # (b) the Σ C(bucket_n, 2) pre-predicate pair estimate picks the
+    # within-pair generator: the vectorized Arrow path amortizes over
+    # volume, but on tiny candidate sets (e.g. the 4-band simhash tier)
+    # its stage spin-up costs more than the interpreted lambda it
+    # replaces — measured +0.5 s on a 2 s query.
+    live = F.col("bucket_n") <= hard_cap
+    stats = census.agg(
+        F.max(F.when(live, F.col("bucket_n"))).alias("max_live"),
+        F.sum(
+            F.when(live, F.col("bucket_n") * (F.col("bucket_n") - 1) / 2)
+        ).alias("est_pairs"),
+    ).collect()[0]
+    has_salted = (stats["max_live"] or 0) > cap
+    est_pairs = float(stats["est_pairs"] or 0.0)
 
     tagged = bands_df.join(census, ["band_id", "band_hash"]).where(
         F.col("bucket_n") <= hard_cap
@@ -326,9 +337,13 @@ def candidate_pairs(
         cells = cells.localCheckpoint(eager=True)
 
     id_type = bands_df.schema[id_col].dataType.simpleString()
-    if id_type in _VEC_ID_TYPES and (pair_predicate is None or pair_predicate_np is not None):
+    if (
+        est_pairs >= 50_000
+        and id_type in _VEC_ID_TYPES
+        and (pair_predicate is None or pair_predicate_np is not None)
+    ):
         within = _within_pairs_vectorized(cells, id_type, pair_predicate_np)
-    else:  # unsupported id type or Column-only predicate: expression path
+    else:  # tiny volume, unsupported id type, or Column-only predicate
         within = cells.select(
             F.explode(_pairs_from_items(F.col("items"), pair_predicate)).alias("p")
         ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
