@@ -160,7 +160,12 @@ def ann_lsh_pairs(
         )
     planes = hyperplane_tables(int(sample["d"]), n_bits, n_tables, seed)
     budf = bucket_tables_udf(planes)
-    slim = df.select(F.col(id_col), F.col(vec_col))
+    from who_owns_mass_processing_spark.operators.blocking import spread_small_input
+
+    # spread the (id, vec) projection across cores before the bucket UDF
+    # (single-file inputs otherwise run it as one task — guide §2.5;
+    # no-op at scale, see spread_small_input)
+    slim = spread_small_input(df, [id_col, vec_col])
     b = slim.select(id_col, F.posexplode(budf(F.col(vec_col))).alias("band_id", "bucket"))
     if probe_hamming1:
         masks = F.array(*[F.lit(1 << j).cast("long") for j in range(n_bits)])

@@ -53,6 +53,32 @@ def bucket_sizes(bands_df: DataFrame) -> DataFrame:
     return bands_df.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_n"))
 
 
+def spread_small_input(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Project to `columns` and repartition up to the session's shuffle
+    parallelism when the input has FEWER partitions than that (guide
+    §2.5 input skew): a small single-file scan pins every downstream
+    per-row UDF stage to one core, because scan split count follows file
+    size, not CPU count — measured at sf0.1: the substring gram UDF and
+    the simhash signature UDF each ran as ONE task for seconds while 31
+    cores idled.  The projection happens BEFORE the repartition so only
+    the columns the consumer needs are shuffled; at 100 TB the input has
+    thousands of splits, n_in >= n_part, and this is a no-op.
+
+    The partition probe is job-free: `inputFiles` is a metadata call for
+    file scans; `.rdd.getNumPartitions` only runs for non-file sources
+    (cached/checkpointed inputs already have materialized partitions).
+    Same contract as the signature stage has used since round 4
+    (operators/dedupe.py minhash_signatures) — now shared by every
+    corpus-wide UDF consumer."""
+    slim = df.select(*columns) if columns else df
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    files = slim.inputFiles()
+    n_in = len(files) if files else slim.rdd.getNumPartitions()
+    if n_in < n_part:
+        slim = slim.repartition(n_part)
+    return slim
+
+
 def with_surrogate_ids(df: DataFrame, sid_col: str = "_sid") -> DataFrame:
     """Attach an 8-byte surrogate id and PIN the mapping (eager
     localCheckpoint), so every blocking/verify consumer sees the same

@@ -57,17 +57,12 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, cfg: DedupeCon
     the raw input would shuffle the payload column, i.e. ~the whole
     table at 100 TB.
     """
-    slim = df.select(F.col(id_col), F.col(text_col))
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # partition probe without forcing an RDD conversion when the source is
-    # a file scan (inputFiles is a metadata call); .rdd only as fallback
-    # for non-file sources (cached/checkpointed inputs already have
-    # materialized partitions, so it stays job-free there too)
-    files = slim.inputFiles()
-    n_in = len(files) if files else slim.rdd.getNumPartitions()
-    if n_in < n_part:
-        slim = slim.repartition(n_part)
-    df = slim
+    # partition spread: see spread_small_input (projection before the
+    # conditional repartition — repartitioning the raw input would
+    # shuffle the payload column, i.e. ~the whole table at 100 TB)
+    from who_owns_mass_processing_spark.operators.blocking import spread_small_input
+
+    df = spread_small_input(df, [id_col, text_col])
     sig = signature_udf(cfg.shingle_k, cfg.num_perm, cfg.minhash_seed)
     return df.select(
         F.col(id_col),
@@ -309,9 +304,15 @@ def winnow_pairs(
     (R/deduplicaters.R:313-359 blocks on standardized names, verifies
     with exact cosine)."""
     # checkpoint (inside with_surrogate_ids): feeds banding AND the
-    # verify join; blocking rides the 8-byte surrogate (VERDICT r4 #1)
+    # verify join; blocking rides the 8-byte surrogate (VERDICT r4 #1).
+    # The (id, text) projection is spread across cores first — the
+    # fingerprint UDF otherwise runs as one task on single-file inputs
+    # (guide §2.5; no-op at scale, see spread_small_input)
+    from who_owns_mass_processing_spark.operators.blocking import spread_small_input
+
+    slim = spread_small_input(df, [id_col, text_col])
     fps = with_surrogate_ids(
-        df.select(
+        slim.select(
             F.col(id_col),
             T.winnow_fingerprints(F.col(text_col), k=k, w=w).alias("_fps"),
         ).where(F.size("_fps") > 0)
@@ -486,10 +487,17 @@ def simhash_near_dup_pairs(
     checkpoint inside with_surrogate_ids also runs the signature UDF
     once instead of once per consumer (bands + both verify sides)."""
     from who_owns_mass_processing_spark.functions.images import phash_bands
-    from who_owns_mass_processing_spark.operators.blocking import hamming_pairs
+    from who_owns_mass_processing_spark.operators.blocking import (
+        hamming_pairs,
+        spread_small_input,
+    )
 
+    # spread the (id, text) projection across cores before the signature
+    # UDF: a single-file input otherwise runs the whole simhash pass as
+    # one task (measured 1.4 s single-core at sf0.1 — guide §2.5)
+    slim = spread_small_input(df, [id_col, text_col])
     sh = with_surrogate_ids(
-        df.select(
+        slim.select(
             F.col(id_col),
             simhash_udf()(T.normalize_text(F.col(text_col))).alias("simhash"),
         )

@@ -132,7 +132,14 @@ def lgram_occurrences(
                  "h1": fold(salts[0]), "h2": fold(salts[1])}
             )
 
-    out = df.select(F.col(id_col), F.col(text_col)).mapInPandas(gen, schema)
+    from who_owns_mass_processing_spark.operators.blocking import spread_small_input
+
+    # spread the (id, text) projection across cores before the UDF: the
+    # sf-scale documents table is ONE parquet file, so this mapInPandas
+    # otherwise runs as a single task (measured 2.0-3.1 s per pass
+    # single-core at sf0.1, and the span queries consume the occurrence
+    # table twice — guide §2.5; no-op at scale, see spread_small_input)
+    out = spread_small_input(df, [id_col, text_col]).mapInPandas(gen, schema)
     return out.select(
         F.col(id_col), F.col("pos"),
         F.struct(F.col("h1"), F.col("h2")).alias("gram_hash"),

@@ -70,6 +70,19 @@ def get_spark(
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces by BYTES, but the candidate-cell exchanges of the
+        # LSH tiers carry few bytes and O(Σ C(bucket_n, 2)) downstream
+        # compute: with the default 1 MB minPartitionSize the ~4 MB cell
+        # shuffle coalesced to 2-6 tasks and the vectorized pair-gen
+        # stage ran 2.8-4.8 s on 2-6 of 32 cores (measured, job-level
+        # profile r6).  A 64 KB floor restores the parallelism AQE's
+        # parallelismFirst mode intends (target = max(bytes/parallelism,
+        # floor)) while staying inert at production partition sizes,
+        # where post-shuffle partitions are >> 1 MB anyway.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
