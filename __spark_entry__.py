@@ -332,7 +332,9 @@ def q_dedup_cc_assignments(spark, sf_dir):
     within-group pair listing that CC never needed)."""
     d = _t(spark, sf_dir, "documents")
     edges, _ = D.lsh_near_dup_edges(d, "doc_id", "text", CFG)
-    cc = connected_components(edges.select("a", "b"))
+    # rep pairs and star edges are distinct by construction (disjoint
+    # sets, each deduped) — skip the und-distinct exchange
+    cc = connected_components(edges.select("a", "b"), dedup_edges=False)
     out = C.with_singletons(d.select("doc_id"), "doc_id", cc)
     return out.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
@@ -417,7 +419,8 @@ def q_cluster_diagnostics(spark, sf_dir):
     # diagnostics similarity join; cut lineage once so the LSH+verify
     # plan runs once, not once per consumer
     pairs = pairs.localCheckpoint(eager=True)
-    cc = connected_components(pairs.select("a", "b"))
+    # pairs come out of groupBy(a, b): distinct by construction
+    cc = connected_components(pairs.select("a", "b"), dedup_edges=False)
     assigns = C.with_singletons(d.select("doc_id"), "doc_id", cc).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )

@@ -35,11 +35,21 @@ def connected_components(
     max_iterations: int = 50,
     checkpoint_every: int = 5,
     nodes: DataFrame | None = None,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """edges(src, dst) [+ optional nodes(node) for singletons]
     -> (node, component) where component = min node id in the component.
 
     Node ids may be any orderable type (string image_ids work).
+
+    dedup_edges: min-label propagation is correct on duplicate edges
+    (min over repeated neighbors is the min), so the `distinct` on the
+    undirected edge list is purely a COST guard against heavily
+    duplicated inputs inflating every iteration join.  Callers whose
+    edge lists are distinct by construction (every engine call site:
+    pair lists out of groupBy(a, b), star edges, pre-distincted unions)
+    pass False and skip that exchange — one fewer shuffle inside the
+    eager edge materialization, per CC call (guide §2.4).
     """
     # materialize the (static) undirected edge list once — every iteration
     # joins against it, so it must not drag the upstream plan along.
@@ -50,21 +60,27 @@ def connected_components(
     # projection (e.g. the linear star-edge tier) would be fully
     # recomputed per branch (measured: 2x the whole LSH chain per CC
     # call at sf0.1).
-    und = (
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
-                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
-                )
-            ).alias("_e")
-        )
-        .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    labels = und.select(F.col("u").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    und = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+            )
+        ).alias("_e")
+    ).select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
+    if dedup_edges:
+        und = und.distinct()
+    und = und.localCheckpoint(eager=True)
+    # ITERATION 1 IS AN AGGREGATION, NOT A JOIN: labels start as the
+    # identity (label(n) = n), so the first propagation round
+    # label'(u) = min(u, min over neighbors v of v) needs no labels
+    # table at all — one groupBy over the checkpointed edges replaces
+    # the join + groupBy + join round the generic iteration pays
+    # (guide §2.4: two operations keyed the same way share one
+    # exchange; here the second keying disappears outright).  The loop
+    # below then starts at iteration 2 with identical state.
+    labels = und.groupBy("u").agg(F.min("v").alias("_mn")).select(
+        F.col("u").alias("node"), F.least("u", "_mn").alias("label")
     )
     if nodes is not None:
         labels = (
@@ -85,7 +101,7 @@ def connected_components(
     # after the true fixpoint; min-label propagation is idempotent, so
     # the result is identical.
     changed = -1
-    for it in range(1, max_iterations + 1):
+    for it in range(2, max_iterations + 1):  # iteration 1 = the fold above
         # neighbor minimum: join edges to current labels of v, min per u
         neigh = (
             und.join(labels.withColumnRenamed("node", "v"), "v")

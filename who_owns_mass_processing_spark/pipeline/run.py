@@ -204,6 +204,7 @@ def run_pipeline(
             edges.select("a", "b").distinct(),
             max_iterations=cfg.cc_max_iterations,
             checkpoint_every=cfg.cc_checkpoint_every,
+            dedup_edges=False,  # caller distincts the (a, b) union above
         )
         return with_singletons(ingested, "image_id", cc).withColumnRenamed(
             "node", "image_id"
@@ -296,6 +297,7 @@ def run_pipeline(
                         caption_pairs.select("a", "b").distinct(),
                         max_iterations=cfg.cc_max_iterations,
                         checkpoint_every=cfg.cc_checkpoint_every,
+                        dedup_edges=False,  # distincted above
                     ),
                 ).select(
                     F.col("node").alias("image_id"),
@@ -314,6 +316,7 @@ def run_pipeline(
                         img_edges,
                         max_iterations=cfg.cc_max_iterations,
                         checkpoint_every=cfg.cc_checkpoint_every,
+                        dedup_edges=False,  # distincted above
                     ),
                 ).select(
                     F.col("node").alias("image_id"),
