@@ -24,6 +24,7 @@ from who_owns_mass_processing_spark.functions.vectors import cosine
 from who_owns_mass_processing_spark.operators import canonical as C
 from who_owns_mass_processing_spark.operators import dedupe as D
 from who_owns_mass_processing_spark.operators import joins as J
+from who_owns_mass_processing_spark.operators.blocking import spread_small_input
 from who_owns_mass_processing_spark.operators.connected_components import connected_components
 
 # Oracle-facing config: bands=32 (r=4) makes P(miss | J>=0.8) ~ 5e-8 per
@@ -271,7 +272,11 @@ def q_text_metrics(spark, sf_dir):
     ratio, and n-gram language guess — the five per-doc text-analysis
     columns in ONE projection (they were five separate registry entries
     in round 3; the driver checks 50)."""
-    d = _t(spark, sf_dir, "documents")
+    # single-file fixture = ONE row group = unsplittable scan (guide
+    # §2.5 input skew: "one huge unsplittable file ... repartition
+    # immediately after the read"); the metric expressions are the cost,
+    # so spread them across cores — no-op on multi-split inputs
+    d = spread_small_input(_t(spark, sf_dir, "documents"), ["doc_id", "text"])
     return d.select(
         "doc_id",
         T.token_count(F.col("text")).cast("long").alias("n_tokens"),
@@ -355,7 +360,8 @@ def q_repetition_metrics(spark, sf_dir):
     repeated word tokens and the fraction of bigrams matching the modal
     bigram — the boilerplate/looping-text filters of a training-data
     pipeline, all Catalyst builtins."""
-    d = _t(spark, sf_dir, "documents")
+    # spread: unsplittable single-file scan, expression-bound (guide §2.5)
+    d = spread_small_input(_t(spark, sf_dir, "documents"), ["doc_id", "text"])
     return d.select(
         "doc_id",
         T.dup_token_fraction(F.col("text")).alias("dup_token_frac"),
@@ -369,7 +375,8 @@ def q_winnow_fingerprint(spark, sf_dir):
     Any >= w+k-1-char shared run between two docs shares >= 1
     fingerprint — the rolling-hash fingerprint surface of the
     training-data tier."""
-    d = _t(spark, sf_dir, "documents")
+    # spread: unsplittable single-file scan, UDF-bound (guide §2.5)
+    d = spread_small_input(_t(spark, sf_dir, "documents"), ["doc_id", "text"])
     return d.select(
         "doc_id",
         F.explode(T.winnow_fingerprints(F.col("text"), k=5, w=4)).alias("gram"),

@@ -206,11 +206,19 @@ def lsh_near_dup_pairs(
             "jaccard",
         )
     )
-    pairs = (
-        expanded.unionByName(exact_fingerprint_pairs(sigs, id_col))
-        .groupBy("a", "b")
-        .agg(F.max("jaccard").alias("jaccard"))
-    )
+    # NO dedup aggregation on the union (guide §2.4: distinct on already-
+    # unique data is a wasted exchange — here it was an output-sized
+    # shuffle at scale).  Disjointness proof: expanded pairs join two
+    # DIFFERENT fingerprints (reps are one-per-fingerprint, so a rep
+    # pair's sides have fp_a != fp_b, and each member belongs to exactly
+    # one fingerprint group => ma != mb and each unordered member pair
+    # arises from exactly one rep pair); exact pairs share ONE
+    # fingerprint.  Within each branch rows are unique by construction
+    # (rep pairs from groupBy(a,b); member expansion of distinct rep
+    # pairs over disjoint groups; exact pairs a < b per group).
+    # Verified empirically: union rows == distinct(a,b) on the
+    # adversarial sf0.1 corpus, and the oracle hash pins it at sf0.01.
+    pairs = expanded.unionByName(exact_fingerprint_pairs(sigs, id_col))
     return pairs, metrics
 
 
@@ -473,7 +481,11 @@ def containment_pairs_lsh(
         .join(nonempty, "a", "left_semi")
         .select("a", "b", F.lit(1.0).alias("containment"))
     )
-    return expanded.unionByName(within).distinct(), metrics
+    # no dedup on the union: expanded rides rep pairs whose sides carry
+    # different fingerprints, `within` pairs share one fingerprint —
+    # disjoint branches, each internally unique (same §2.4 argument and
+    # empirical check as lsh_near_dup_pairs; oracle hash pins it)
+    return expanded.unionByName(within), metrics
 
 
 def simhash_near_dup_pairs(

@@ -438,26 +438,52 @@ def verify_psnr(
     through (their Hamming check suffices — exact pixels).
 
     Returns (a, b, psnr, lossy) for ALL input pairs that pass.
+
+    Payload discipline (guide §8: decide with small rows, move big rows
+    once): lossiness is decided from a bytes-FREE (id, fmt) projection —
+    column pruning keeps that scan tiny — so the `bytes` column is read
+    exactly once, for the ids of LOSSY pairs only, and the pruned blob
+    set is pinned (localCheckpoint) so the two pair-side joins do not
+    re-scan the corpus payload per side (the previous shape scanned the
+    full bytes column twice to fetch a few hundred blobs, ~40% of the
+    image-tier wall at bench scale).  The pinned set is bounded by the
+    lossy candidate-pair count, never the corpus.
     """
-    # fetch ONLY the needed blobs: the candidate-pair id set is tiny
-    # relative to the corpus, so a broadcast semi-join prunes the blob
-    # scan instead of shuffling every image's bytes through the join
+    fmts = blobs.select(F.col(id_col), F.col(fmt_col))
+    pa = fmts.select(F.col(id_col).alias("a"), F.col(fmt_col).alias("_fa"))
+    pb = fmts.select(F.col(id_col).alias("b"), F.col(fmt_col).alias("_fb"))
+    lossy = F.col("_fa").isin("jpeg", "qjp") | F.col("_fb").isin("jpeg", "qjp")
+    tagged = pairs.join(pa, "a").join(pb, "b").withColumn("lossy", lossy)
+    lossy_pairs = tagged.where(F.col("lossy"))
+    # fetch ONLY the blobs lossy pairs need: broadcast semi-join prunes
+    # the payload scan instead of shuffling every image's bytes
     needed = (
-        pairs.select(F.col("a").alias(id_col))
-        .unionByName(pairs.select(F.col("b").alias(id_col)))
+        lossy_pairs.select(F.col("a").alias(id_col))
+        .unionByName(lossy_pairs.select(F.col("b").alias(id_col)))
         .distinct()
     )
-    blobs = blobs.join(F.broadcast(needed), id_col, "left_semi")
-    fa = blobs.select(
-        F.col(id_col).alias("a"), F.col(bytes_col).alias("_ba"), F.col(fmt_col).alias("_fa")
-    )
-    fb = blobs.select(
-        F.col(id_col).alias("b"), F.col(bytes_col).alias("_bb"), F.col(fmt_col).alias("_fb")
-    )
-    lossy = F.col("_fa").isin("jpeg", "qjp") | F.col("_fb").isin("jpeg", "qjp")
-    joined = pairs.join(fa, "a").join(fb, "b").withColumn("lossy", lossy)
+    picked = blobs.join(F.broadcast(needed), id_col, "left_semi").select(
+        F.col(id_col), F.col(bytes_col)
+    ).localCheckpoint(eager=True)
+    fa = picked.select(F.col(id_col).alias("a"), F.col(bytes_col).alias("_ba"))
+    fb = picked.select(F.col(id_col).alias("b"), F.col(bytes_col).alias("_bb"))
     udf = psnr_pair_udf()
-    scored = joined.withColumn(
-        "psnr", F.when(F.col("lossy"), udf(F.col("_ba"), F.col("_bb"))).otherwise(F.lit(999.0))
+    # spread the decode: the joined pair+blob rows follow the (tiny)
+    # broadcast-join stream side's partitioning, so the expensive pixel
+    # decode otherwise lands on 1-2 tasks (measured).  One explicit
+    # repartition of the BOUNDED candidate-blob rows puts the UDF on
+    # every core — the same "move heavy bytes once, then compute wide"
+    # shape as guide §8's placement pass.
+    n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    scored_lossy = (
+        lossy_pairs.join(fa, "a")
+        .join(fb, "b")
+        .repartition(n_part)
+        .withColumn("psnr", udf(F.col("_ba"), F.col("_bb")))
     )
-    return scored.where(F.col("psnr") >= min_db).select("a", "b", "psnr", "lossy")
+    passthrough = tagged.where(~F.col("lossy")).withColumn("psnr", F.lit(999.0))
+    return (
+        scored_lossy.select("a", "b", "psnr", "lossy")
+        .unionByName(passthrough.select("a", "b", "psnr", "lossy"))
+        .where(F.col("psnr") >= min_db)
+    )
