@@ -72,7 +72,9 @@ def run_pipeline(
         sigs = minhash_signatures(ingested, "image_id", "caption", cfg)
         return sigs.join(ingested.select("image_id", "phash", "fmt"), "image_id")
 
-    sigs = roc("signatures", _signatures, upstream=("ingest",))
+    # (submitted below: signatures only feeds the caption tier, so it
+    # runs at the head of the caption THREAD instead of serializing the
+    # whole tier phase behind it — guide §2.6)
 
     # row count from the stage manifest: a resumed run spends ZERO jobs
     # re-counting (write() recorded it)
@@ -80,7 +82,7 @@ def run_pipeline(
     stop_cap = cfg.stop_band_threshold(n_rows)
 
     # --- caption tier ---------------------------------------------------------
-    def _caption_pairs() -> DataFrame:
+    def _caption_pairs(sigs: DataFrame) -> DataFrame:
         from who_owns_mass_processing_spark.operators.dedupe import (
             exact_fingerprint_edges,
             rep_pairs_from_sigs,
@@ -89,14 +91,15 @@ def run_pipeline(
         # LSH over distinct-fingerprint representatives only (identical
         # captions never enter banding — their mega-buckets are pure
         # fan-out), plus linear star edges for the exact-dup families.
+        # No dedup aggregation on the union: rep pairs join two DIFFERENT
+        # fingerprints, star edges share one — disjoint and internally
+        # unique (the lsh_near_dup_pairs §2.4 argument).
         rep_pairs, skew = rep_pairs_from_sigs(sigs, "image_id", cfg, corpus_rows=n_rows)
         cat.write("caption_band_skew", skew)
         exact = exact_fingerprint_edges(sigs, "image_id")
         return (
             rep_pairs.select("a", "b", "jaccard")
             .unionByName(exact)
-            .groupBy("a", "b")
-            .agg(F.max("jaccard").alias("jaccard"))
             .withColumn("tier", F.lit("caption"))
         )
 
@@ -177,15 +180,58 @@ def run_pipeline(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_cap = pool.submit(
-            roc, "caption_pairs", _caption_pairs, ("signatures", "ingest")
+    # the caption THREAD runs signatures then caption_pairs (signatures
+    # feeds nothing else, so it must not serialize the image tiers
+    # behind it); the payload-scanning partition metrics rollup depends
+    # only on the input, so its scan overlaps the tier phase instead of
+    # running in the tail (guide §2.6 back-fill)
+    def _caption_tier() -> tuple[DataFrame, DataFrame]:
+        s = roc("signatures", _signatures, upstream=("ingest",))
+        cp = roc("caption_pairs", lambda: _caption_pairs(s), ("signatures", "ingest"))
+        return s, cp
+
+    def _partition_metrics() -> DataFrame:
+        """Per-partition input metrics (north_rule: per-partition lineage
+        + metrics): rows + payload bytes per input unit — builtins only;
+        decode-failure accounting lives in functions.images.
+        decode_stats_map for the audit path.
+
+        For file-backed inputs the unit is the SOURCE FILE
+        (`_metadata.file_path` — durable lineage that survives re-reads);
+        for non-file inputs it falls back to the scan partition id."""
+        try:
+            keyed = images.select(
+                F.col("_metadata.file_path").alias("src_file"),
+                F.length("bytes").alias("_sz"),
+            )
+            key = "src_file"
+        except Exception:  # non-file source: no _metadata column
+            keyed = images.select(
+                F.spark_partition_id().cast("string").alias("src_file"),
+                F.length("bytes").alias("_sz"),
+            )
+            key = "src_file"
+        return keyed.groupBy(key).agg(
+            F.count("*").alias("rows"), F.sum("_sz").alias("payload_bytes")
         )
+
+    def _partition_metrics_tiered() -> DataFrame:
+        # stage name is VERSIONED: the output schema changed in round 2
+        # (partition_id int -> src_file string); an unversioned name
+        # would silently resume the old-schema checkpoint (see the
+        # _partition_metrics docstring below)
+        cat.supersede("partition_metrics")
+        return roc("partition_metrics_v2", _partition_metrics)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_cap = pool.submit(_caption_tier)
         f_iee = pool.submit(roc, "image_exact_edges", _image_exact_edges, ("ingest",))
         f_imp = pool.submit(roc, "image_pairs", _image_pairs, ("ingest",))
-        caption_pairs = f_cap.result()
+        f_pm = pool.submit(_partition_metrics_tiered)
+        sigs, caption_pairs = f_cap.result()
         image_exact_edges = f_iee.result()
         image_pairs = f_imp.result()
+        partition_metrics = f_pm.result()
 
     # --- edges + clustering ---------------------------------------------------
     def _edges() -> DataFrame:
@@ -338,40 +384,9 @@ def run_pipeline(
         )
 
     # --- metrics + lineage ------------------------------------------------------
-    def _partition_metrics() -> DataFrame:
-        """Per-partition input metrics (north_rule: per-partition lineage
-        + metrics): rows + payload bytes per input unit — builtins only;
-        decode-failure accounting lives in functions.images.
-        decode_stats_map for the audit path.
+    # (partition_metrics was computed in the tier pool above — its
+    # payload scan depends only on the input and overlaps the tiers)
 
-        For file-backed inputs the unit is the SOURCE FILE
-        (`_metadata.file_path` — durable lineage that survives re-reads);
-        for non-file inputs it falls back to the scan partition id."""
-        try:
-            keyed = images.select(
-                F.col("_metadata.file_path").alias("src_file"),
-                F.length("bytes").alias("_sz"),
-            )
-            key = "src_file"
-        except Exception:  # non-file source: no _metadata column
-            keyed = images.select(
-                F.spark_partition_id().cast("string").alias("src_file"),
-                F.length("bytes").alias("_sz"),
-            )
-            key = "src_file"
-        return keyed.groupBy(key).agg(
-            F.count("*").alias("rows"), F.sum("_sz").alias("payload_bytes")
-        )
-
-    # stage name is VERSIONED: the output schema changed in round 2
-    # (partition_id int -> src_file string); an unversioned name would
-    # silently resume the old-schema checkpoint on a pre-existing
-    # workdir.  Convention: bump the suffix whenever a stage's schema
-    # changes without a config change — and retire the old name so a
-    # pre-existing workdir's lineage table does not carry a stale v1
-    # row forever (ADVICE r3).
-    cat.supersede("partition_metrics")
-    partition_metrics = roc("partition_metrics_v2", _partition_metrics)
 
     def _metrics() -> DataFrame:
         # counts come from the stage manifests (recorded at write time)
