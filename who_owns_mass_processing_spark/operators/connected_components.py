@@ -116,16 +116,17 @@ def connected_components(
                 "_changed"
             ),
         )
-        # Sync schedule: iteration 2 first, then the checkpoint cadence.
-        # Near-dup similarity graphs are dominated by cliques/stars that
-        # converge after ONE propagation round; the old first-sync-at-5
-        # ran three extra join rounds per call before the convergence
-        # check could fire (measured ~2 s/call at bench scale across the
-        # five CC consumers).  Deep chains still batch `checkpoint_every`
-        # iterations per driver sync, so the round-1 driver-sync lesson
-        # (one eager checkpoint + collect per iteration cost 32 s of an
-        # 80 s bench) is preserved.
-        if it == 2 or it % checkpoint_every == 0 or it == max_iterations:
+        # Sync schedule: iterations 2 and 3 first, then the checkpoint
+        # cadence.  Near-dup similarity graphs are dominated by cliques/
+        # stars (converged after round 1, detected at the it=2 sync) and
+        # shallow star-chains (diameter ~3: converged at round 3 once
+        # the it=2 pointer jump doubles the reach — measured: skipping
+        # straight from 2 to the cadence at 5 ran three dead join
+        # rounds + their materialization per call).  Deep chains still
+        # batch `checkpoint_every` iterations per driver sync, so the
+        # round-1 driver-sync lesson (one eager checkpoint + collect
+        # per iteration cost 32 s of an 80 s bench) is preserved.
+        if it in (2, 3) or it % checkpoint_every == 0 or it == max_iterations:
             new_labels = new_labels.localCheckpoint(eager=True)
             changed = new_labels.agg(
                 F.sum(F.col("_changed").cast("long"))
