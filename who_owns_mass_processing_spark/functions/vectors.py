@@ -224,21 +224,26 @@ def _cosine_pairs_mapside(
     order = np.argsort(ids)
     ids_s = ids[order]
     mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]], dtype=np.float64)[order]
-    bvar = cands.sparkSession.sparkContext.broadcast((ids_s, mat))
+    # norms once per VECTOR in the broadcast, not twice per PAIR in the
+    # batch loop: sqrt(einsum) over the same contiguous row data is the
+    # identical float op sequence, so gathered norms are bit-identical
+    # to the per-pair computation they replace (2/3 of the kernel FLOPs)
+    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    bvar = cands.sparkSession.sparkContext.broadcast((ids_s, mat, norms))
 
     def gen(batches):
-        ids_b, mat_b = bvar.value
+        ids_b, mat_b, norms_b = bvar.value
         for batch in batches:
             a = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
             b = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
             if len(a) == 0:
                 continue
-            va = mat_b[np.searchsorted(ids_b, a)]
-            vb = mat_b[np.searchsorted(ids_b, b)]
+            ia = np.searchsorted(ids_b, a)
+            ib = np.searchsorted(ids_b, b)
+            va = mat_b[ia]
+            vb = mat_b[ib]
             num = np.einsum("ij,ij->i", va, vb)
-            na = np.sqrt(np.einsum("ij,ij->i", va, va))
-            nb = np.sqrt(np.einsum("ij,ij->i", vb, vb))
-            den = na * nb
+            den = norms_b[ia] * norms_b[ib]
             with np.errstate(divide="ignore", invalid="ignore"):
                 out = np.where(den > 0, num / den, 0.0)
             yield pa.RecordBatch.from_arrays(
