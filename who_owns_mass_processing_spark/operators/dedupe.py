@@ -337,12 +337,15 @@ def winnow_pairs(
     )
 
     sid_pairs = None
-    if fps.count() <= BROADCAST_VERIFY_MAX_ROWS:  # checkpointed: cheap count
+    n_fps = fps.count()  # checkpointed: cheap count
+    if n_fps <= BROADCAST_VERIFY_MAX_ROWS:
         # broadcast map-side verify (operators/verify.py): fingerprints
         # pack into order-preserving uint64, intersect counts are
-        # integers — exact; None = k > 8 or bytes over the cap
+        # integers — exact; None = k > 8 or bytes over the cap (large
+        # corpora fail the byte PRE-gate without a driver collect)
         sid_pairs = winnow_verify_mapside(
-            cands, fps.select("_sid", "_fps"), "_sid", "_fps", k, int(min_shared)
+            cands, fps.select("_sid", "_fps"), "_sid", "_fps", k, int(min_shared),
+            features_rows=n_fps,
         )
     if sid_pairs is None:
         fa = fps.select(F.col("_sid").alias("a"), F.col("_fps").alias("_fa"))
@@ -434,7 +437,8 @@ def containment_pairs_lsh(
         # Arrow pass emits both containment directions; None = the
         # collected bytes exceeded the broadcast cap -> join path
         rep_hits = containment_verify_mapside(
-            cands, rep_sigs.select("_sid", "codes"), "_sid", "codes", threshold
+            cands, rep_sigs.select("_sid", "codes"), "_sid", "codes", threshold,
+            features_rows=n_reps,
         )
     if rep_hits is None:
         ca = rep_sigs.select(F.col("_sid").alias("a"), F.col("codes").alias("_ca"))

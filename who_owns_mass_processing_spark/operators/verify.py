@@ -37,6 +37,27 @@ from who_owns_mass_processing_spark.functions.text import jaccard_arrays
 # collect is written off.
 BROADCAST_VERIFY_MAX_ROWS = 100_000
 BROADCAST_VERIFY_MAX_BYTES = 256 * 1024 * 1024
+# Above this row count, a doomed collect is expensive enough (hundreds
+# of MB of driver assembly) that one tiny aggregation job to ESTIMATE
+# the byte size first is the cheaper failure mode; below it, collecting
+# directly saves that job on the common small-corpus path.
+_PREGATE_MIN_ROWS = 20_000
+
+
+def _bytes_pregate(
+    features: DataFrame, array_col: str, rows: int | None, fixed_per_row: int
+) -> bool:
+    """True when the feature table is provably over the broadcast byte
+    cap WITHOUT collecting it: one scalar agg over the (checkpointed)
+    features prices the variable-width array column; `fixed_per_row`
+    covers fixed-width columns (e.g. the minhash matrix).  Only runs
+    when `rows` exceeds _PREGATE_MIN_ROWS — at 10x bench scale the
+    fallback previously collected ~1.4 GB to the driver just to throw
+    it away (measured); small corpora skip the extra job entirely."""
+    if rows is None or rows <= _PREGATE_MIN_ROWS:
+        return False
+    n = features.agg(F.sum(F.size(array_col))).collect()[0][0] or 0
+    return int(n) * 8 + rows * fixed_per_row > BROADCAST_VERIFY_MAX_BYTES
 
 
 def _spark_round6(x: np.ndarray) -> np.ndarray:
@@ -59,6 +80,7 @@ def _verify_jaccard_mapside(
     num_perm: int,
     gate: float,
     ratio_floor: float,
+    features_rows: int | None = None,
 ) -> DataFrame | None:
     """Broadcast map-side twin of the join-path verify (guide §3.1/§4.2):
     the feature table (surrogate id, sorted shingle codes, minhash) is
@@ -72,6 +94,8 @@ def _verify_jaccard_mapside(
     tests/test_blocking.py)."""
     import pyarrow as pa
 
+    if _bytes_pregate(features, shingle_col, features_rows, num_perm * 8):
+        return None  # provably over the cap: skip the doomed collect
     pdf = features.select(id_col, shingle_col, minhash_col).toPandas()
     sids = pdf[id_col].to_numpy().astype(np.int64)
     order = np.argsort(sids)
@@ -148,6 +172,7 @@ def containment_verify_mapside(
     id_col: str,
     shingle_col: str,
     threshold: float,
+    features_rows: int | None = None,
 ) -> DataFrame | None:
     """Broadcast map-side twin of the containment verify: for each
     candidate (a, b) emit BOTH ordered directions (ra, rb, containment)
@@ -158,6 +183,8 @@ def containment_verify_mapside(
     denominators here are single-doc shingle counts)."""
     import pyarrow as pa
 
+    if _bytes_pregate(features, shingle_col, features_rows, 0):
+        return None  # provably over the cap: skip the doomed collect
     pdf = features.select(id_col, shingle_col).toPandas()
     sids = pdf[id_col].to_numpy().astype(np.int64)
     order = np.argsort(sids)
@@ -233,6 +260,7 @@ def winnow_verify_mapside(
     fps_col: str,
     k: int,
     min_shared: int,
+    features_rows: int | None = None,
 ) -> DataFrame | None:
     """Broadcast map-side twin of the winnow-pair verify: n_shared =
     |fps_a ∩ fps_b| over the per-doc fingerprint sets, filtered at
@@ -245,6 +273,8 @@ def winnow_verify_mapside(
 
     if k > 8:
         return None
+    if _bytes_pregate(features, fps_col, features_rows, 0):
+        return None  # provably over the cap: skip the doomed collect
     pdf = features.select(id_col, fps_col).toPandas()
     sids = pdf[id_col].to_numpy().astype(np.int64)
     order = np.argsort(sids)
@@ -365,6 +395,7 @@ def verify_jaccard(
         fast = _verify_jaccard_mapside(
             pairs, features, id_col, shingle_col, threshold,
             minhash_col, num_perm, gate, float(threshold) - 1e-6,
+            features_rows=features_rows,
         )
         if fast is not None:  # None: collected bytes exceeded the cap
             return fast
