@@ -219,11 +219,23 @@ def _cosine_pairs_mapside(
     `cosine_pair_udf`, so values are bit-identical."""
     import pyarrow as pa
 
-    pdf = slim.toPandas()
-    ids = pdf[id_col].to_numpy().astype(np.int64)
-    order = np.argsort(ids)
+    from who_owns_mass_processing_spark.operators.verify import (
+        _fixed_matrix_from_list_column,
+    )
+
+    # Arrow-native collect (no toPandas object columns, no per-row
+    # np.asarray): the vector column's flat float64 child reshapes into
+    # the (n, dim) matrix in one step — same values, same row order
+    tab = slim.select(id_col, vec_col).toArrow()
+    ids = tab.column(0).to_numpy().astype(np.int64, copy=False)
+    order = np.argsort(ids, kind="stable")
     ids_s = ids[order]
-    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]], dtype=np.float64)[order]
+    dim = len(tab.column(1)[0]) if tab.num_rows else 0
+    mat = _fixed_matrix_from_list_column(tab.column(1), dim, order)
+    if mat is None:  # ragged vectors: per-row fallback (never produced here)
+        vals = tab.column(1).to_pylist()
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vals], dtype=np.float64)[order]
+    mat = np.ascontiguousarray(mat, dtype=np.float64)
     # norms once per VECTOR in the broadcast, not twice per PAIR in the
     # batch loop: sqrt(einsum) over the same contiguous row data is the
     # identical float op sequence, so gathered norms are bit-identical

@@ -28,6 +28,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _checkpointed_bytes(df: DataFrame) -> int | None:
+    """Actual stored size of an eagerly localCheckpoint'ed DataFrame,
+    from the block manager's RDD storage info — a driver metadata call,
+    zero jobs.  The checkpointed plan is a LogicalRDD whose rdd id keys
+    the storage entry (verified: ids match; thread-safe because the id
+    is taken from THIS DataFrame's plan, not from 'most recent RDD').
+    Returns None when the lookup fails (non-checkpointed plan, API
+    drift) — callers must treat None as 'unknown, do nothing'."""
+    try:
+        rid = df._jdf.queryExecution().analyzed().rdd().id()
+        sc = df.sparkSession.sparkContext
+        for info in sc._jsc.sc().getRDDStorageInfo():
+            if info.id() == rid:
+                return int(info.memSize()) + int(info.diskSize())
+    except Exception:
+        return None
+    return None
+
+
+# Target bytes per partition when re-laying-out a TINY checkpointed edge
+# list: the fixpoint loop scans `und` every iteration, and a small graph
+# materialized by a wide upstream job (e.g. a union of AQE stages) can
+# carry 30-60 near-empty partitions — every iteration join then pays
+# that many map tasks of pure scheduling overhead (measured: 64-66-task
+# jobs of 130-340 ms each on a 500-edge graph).  Coalesce (narrow, no
+# shuffle, no re-materialization) to ~8 MB/partition, derived from the
+# MEASURED stored bytes, never from core count or fixture size — at
+# scale the edge list is GBs+ and this is a no-op.
+_CC_TARGET_PARTITION_BYTES = 8 << 20
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a",
@@ -71,6 +102,12 @@ def connected_components(
     if dedup_edges:
         und = und.distinct()
     und = und.localCheckpoint(eager=True)
+    nbytes = _checkpointed_bytes(und)
+    if nbytes is not None:
+        n_parts = und.rdd.getNumPartitions()  # metadata only, no job
+        target = max(1, -(-nbytes // _CC_TARGET_PARTITION_BYTES))
+        if target < n_parts:
+            und = und.coalesce(int(target))
     # ITERATION 1 IS AN AGGREGATION, NOT A JOIN: labels start as the
     # identity (label(n) = n), so the first propagation round
     # label'(u) = min(u, min over neighbors v of v) needs no labels
