@@ -134,7 +134,7 @@ def decode_pair_ids(
     )
 
 
-def _pairs_from_items(items: Column, pair_predicate=None) -> Column:
+def _pairs_from_items(items: Column, pair_predicate=None, pair_value=None) -> Column:
     """C(n,2) pairs of an array<struct<id, payload?>> via nested lambdas
     (codegen'd).  items MUST be sorted by id (sort_array) so a < b holds
     positionally.
@@ -142,17 +142,24 @@ def _pairs_from_items(items: Column, pair_predicate=None) -> Column:
     Index-based inner loop (element_at on the materialized array is O(1))
     — the previous tail-`slice` per element copied O(n^2) structs per
     cell before the predicate ran, which at ~19-row average buckets x
-    1.5M buckets on the 1.4M-image bench was the dominant allocation."""
+    1.5M buckets on the 1.4M-image bench was the dominant allocation.
+
+    pair_value(x, y), when given, rides along as field `v` (e.g. the
+    Hamming distance the fused predicate already computed) so consumers
+    need no feature re-join to recover it."""
     def inner(x, i):
         js = F.sequence(i + F.lit(2), F.size(items))
         if pair_predicate is not None:
             js = F.filter(js, lambda j: pair_predicate(x, F.element_at(items, j)))
-        return F.transform(
-            js,
-            lambda j: F.struct(
-                x["id"].alias("a"), F.element_at(items, j)["id"].alias("b")
-            ),
-        )
+
+        def emit(j):
+            y = F.element_at(items, j)
+            fields = [x["id"].alias("a"), y["id"].alias("b")]
+            if pair_value is not None:
+                fields.append(pair_value(x, y).alias("v"))
+            return F.struct(*fields)
+
+        return F.transform(js, emit)
 
     return F.flatten(
         F.transform(
@@ -162,20 +169,27 @@ def _pairs_from_items(items: Column, pair_predicate=None) -> Column:
     )
 
 
-def _cross_pairs_from_cells(items_l: Column, items_r: Column, pair_predicate=None) -> Column:
+def _cross_pairs_from_cells(
+    items_l: Column, items_r: Column, pair_predicate=None, pair_value=None
+) -> Column:
     """All left x right pairs of two disjoint cell arrays, predicate fused,
-    (a, b) normalized to a < b."""
+    (a, b) normalized to a < b; optional symmetric pair_value as field
+    `v` (callers only pass order-invariant values, e.g. Hamming)."""
     def inner(x):
         candidates = items_r
         if pair_predicate is not None:
             candidates = F.filter(candidates, lambda y: pair_predicate(x, y))
-        return F.transform(
-            candidates,
-            lambda y: F.struct(
+
+        def emit(y):
+            fields = [
                 F.least(x["id"], y["id"]).alias("a"),
                 F.greatest(x["id"], y["id"]).alias("b"),
-            ),
-        )
+            ]
+            if pair_value is not None:
+                fields.append(pair_value(x, y).alias("v"))
+            return F.struct(*fields)
+
+        return F.transform(candidates, emit)
 
     return F.flatten(F.transform(items_l, inner))
 
@@ -226,7 +240,9 @@ def _triu_pairs_np(sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarra
 _VEC_ID_TYPES = {"bigint", "int", "string"}
 
 
-def _within_pairs_vectorized(cells: DataFrame, id_type: str, np_predicate):
+def _within_pairs_vectorized(
+    cells: DataFrame, id_type: str, np_predicate, np_value=None, value_type: str = "int"
+):
     """Within-cell C(n,2) pair generation as a vectorized Arrow pass —
     the numpy twin of `_pairs_from_items` (guide §4.2).  The interpreted
     transform/filter/flatten lambda walked every emitted struct through
@@ -272,12 +288,20 @@ def _within_pairs_vectorized(cells: DataFrame, id_type: str, np_predicate):
                 if np_predicate is not None:
                     mask = np_predicate(pay[I], pay[J])
                     I, J = I[mask], J[mask]
-                yield pa.RecordBatch.from_arrays(
-                    [ids.take(pa.array(I)), ids.take(pa.array(J))], ["a", "b"]
-                )
+                arrays = [ids.take(pa.array(I)), ids.take(pa.array(J))]
+                names = ["a", "b"]
+                if np_value is not None:
+                    # value computed only for SURVIVING pairs (the
+                    # predicate already filtered I/J above)
+                    arrays.append(pa.array(np_value(pay[I], pay[J])))
+                    names.append("v")
+                yield pa.RecordBatch.from_arrays(arrays, names)
                 start = end
 
-    return cells.select("items").mapInArrow(gen, f"a {id_type}, b {id_type}")
+    schema = f"a {id_type}, b {id_type}"
+    if np_value is not None:
+        schema += f", v {value_type}"
+    return cells.select("items").mapInArrow(gen, schema)
 
 
 def candidate_pairs(
@@ -288,6 +312,10 @@ def candidate_pairs(
     payload_col: str | None = None,
     pair_predicate=None,
     pair_predicate_np=None,
+    pair_value=None,
+    pair_value_np=None,
+    value_col: str | None = None,
+    value_type: str = "int",
 ) -> tuple[DataFrame, DataFrame]:
     """(band_id, band_hash, id [, payload]) -> distinct candidate pairs
     (a < b).
@@ -300,10 +328,19 @@ def candidate_pairs(
     generation take the vectorized Arrow path; the Column form still
     serves the cross-cell join path.
 
-    Returns (pairs(a, b), skew_metrics) — skew_metrics has one row per
-    bucket class (kept / salted / dropped_stop_band) with bucket/row
-    counts (feeds the metrics table).
+    pair_value/pair_value_np (+ value_col): an ORDER-INVARIANT,
+    payload-deterministic per-pair value (e.g. the fused Hamming
+    distance) emitted alongside (a, b) — consumers then need no feature
+    re-join to recover what the predicate already computed.  Cross-band
+    duplicates carry identical values (pure function of the two
+    payloads), so the dedup aggregation takes min(value) == the value.
+
+    Returns (pairs(a, b[, value_col]), skew_metrics) — skew_metrics has
+    one row per bucket class (kept / salted / dropped_stop_band) with
+    bucket/row counts (feeds the metrics table).
     """
+    if value_col is not None and (pair_value is None or payload_col is None):
+        raise ValueError("value_col requires pair_value and payload_col")
     cap = min(cap, hard_cap)  # stop threshold may undercut the salt cap
     payload = F.col(payload_col) if payload_col else F.lit(0)
     item = F.struct(F.col(id_col).alias("id"), payload.alias("payload"))
@@ -362,17 +399,36 @@ def candidate_pairs(
     if has_salted:
         cells = cells.localCheckpoint(eager=True)
 
+    emit_value = value_col is not None
+
+    def _proj(p):
+        cols = [F.col("p.a").alias("a"), F.col("p.b").alias("b")]
+        if emit_value:
+            cols.append(F.col("p.v").alias(value_col))
+        return cols
+
     id_type = bands_df.schema[id_col].dataType.simpleString()
     if (
         est_pairs >= 50_000
         and id_type in _VEC_ID_TYPES
         and (pair_predicate is None or pair_predicate_np is not None)
+        and (not emit_value or pair_value_np is not None)
     ):
-        within = _within_pairs_vectorized(cells, id_type, pair_predicate_np)
+        within = _within_pairs_vectorized(
+            cells, id_type, pair_predicate_np,
+            np_value=pair_value_np if emit_value else None, value_type=value_type,
+        )
+        if emit_value:
+            within = within.withColumnRenamed("v", value_col)
     else:  # tiny volume, unsupported id type, or Column-only predicate
         within = cells.select(
-            F.explode(_pairs_from_items(F.col("items"), pair_predicate)).alias("p")
-        ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            F.explode(
+                _pairs_from_items(
+                    F.col("items"), pair_predicate,
+                    pair_value if emit_value else None,
+                )
+            ).alias("p")
+        ).select(*_proj("p"))
 
     multi = cells.where(F.col("m") > 1)
     cl = multi.select(
@@ -386,18 +442,22 @@ def candidate_pairs(
         .where(F.col("salt_l") < F.col("salt_r"))
         .select(
             F.explode(
-                _cross_pairs_from_cells(F.col("items_l"), F.col("items_r"), pair_predicate)
+                _cross_pairs_from_cells(
+                    F.col("items_l"), F.col("items_r"), pair_predicate,
+                    pair_value if emit_value else None,
+                )
             ).alias("p")
         )
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .select(*_proj("p"))
     )
 
-    pairs = (
-        (within.unionByName(cross) if has_salted else within)
-        .groupBy("a", "b")
-        .agg(F.lit(1).alias("_one"))
-        .drop("_one")
-    )
+    unioned = within.unionByName(cross) if has_salted else within
+    if emit_value:
+        # duplicates of a pair carry the identical value (pure function
+        # of the two payloads): min == the value, partial-agg'd map-side
+        pairs = unioned.groupBy("a", "b").agg(F.min(value_col).alias(value_col))
+    else:
+        pairs = unioned.groupBy("a", "b").agg(F.lit(1).alias("_one")).drop("_one")
 
     # metrics reuse the CHECKPOINTED dup census (no second banding
     # aggregation — round 3 recomputed the full census from bands_df
@@ -456,16 +516,27 @@ def hamming_pairs(
     hard_cap: int = 100000,
 ) -> tuple[DataFrame, DataFrame]:
     """Hamming-fused blocking: candidate generation with the popcount
-    check applied inside the lambda, then the distance recomputed only
-    for surviving pairs.  Returns (pairs(a, b, hamming), metrics)."""
+    check applied inside the lambda, and the distance EMITTED alongside
+    each surviving pair — consumers that previously re-joined the hash
+    table twice to recompute bit_count(xor) (verify_hamming) read the
+    `hamming` column instead (guide §2.4: the value was already computed
+    inside the fused predicate; two broadcast joins per tier dropped).
+    Returns (pairs(a, b, hamming), metrics)."""
     def pred(x, y):
         return F.bit_count(x["payload"].bitwiseXOR(y["payload"])) <= F.lit(radius)
+
+    def val(x, y):
+        return F.bit_count(x["payload"].bitwiseXOR(y["payload"])).cast("int")
 
     def pred_np(pa_: np.ndarray, pb_: np.ndarray) -> np.ndarray:
         return popcount64_np(pa_ ^ pb_) <= radius
 
+    def val_np(pa_: np.ndarray, pb_: np.ndarray) -> np.ndarray:
+        return popcount64_np(pa_ ^ pb_).astype(np.int32)
+
     pairs, metrics = candidate_pairs(
         bands_df, id_col, cap=cap, hard_cap=hard_cap,
         payload_col=hash_col, pair_predicate=pred, pair_predicate_np=pred_np,
+        pair_value=val, pair_value_np=val_np, value_col="hamming",
     )
     return pairs, metrics

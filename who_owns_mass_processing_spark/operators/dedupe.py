@@ -519,16 +519,8 @@ def simhash_near_dup_pairs(
         )
     )
     bands = phash_bands(sh, "simhash", "_sid", n_bands=n_bands)
+    # hamming_pairs emits the fused popcount distance with each pair —
+    # the two feature re-joins that recomputed bit_count(xor) are gone
+    # (the generator predicate already guarantees hamming <= radius)
     cands, _ = hamming_pairs(bands, "_sid", "simhash", radius)
-    fa = sh.select(F.col("_sid").alias("a"), F.col("simhash").alias("_ha"))
-    fb = sh.select(F.col("_sid").alias("b"), F.col("simhash").alias("_hb"))
-    sid_pairs = (
-        cands.join(fa, "a")
-        .join(fb, "b")
-        .select(
-            "a", "b",
-            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int").alias("hamming"),
-        )
-        .where(F.col("hamming") <= radius)
-    )
-    return decode_pair_ids(sid_pairs, sh.select("_sid", id_col), id_col)
+    return decode_pair_ids(cands, sh.select("_sid", id_col), id_col)

@@ -565,7 +565,14 @@ def verify_psnr(
     ).localCheckpoint(eager=True)
     fa = picked.select(F.col(id_col).alias("a"), F.col(bytes_col).alias("_ba"))
     fb = picked.select(F.col(id_col).alias("b"), F.col(bytes_col).alias("_bb"))
-    udf = psnr_pair_udf()
+    # non-deterministic mark (guide §4.4): the psnr >= min_db filter below
+    # otherwise gets pushed past the repartition as a SECOND evaluation of
+    # the UDF — every lossy pair's image decode ran twice, and the pushed
+    # copy ran below the exchange on the (unspread) stream-side partitions
+    # (measured: a 1-task 1.7 s decode stage ahead of the 32-wide one).
+    # The mark pins ONE evaluation above the repartition; the decode is
+    # pure, so results are unchanged.
+    udf = psnr_pair_udf().asNondeterministic()
     # spread the decode: the joined pair+blob rows follow the (tiny)
     # broadcast-join stream side's partitioning, so the expensive pixel
     # decode otherwise lands on 1-2 tasks (measured).  One explicit

@@ -29,11 +29,7 @@ from who_owns_mass_processing_spark.operators.blocking import hamming_pairs
 from who_owns_mass_processing_spark.operators.canonical import cluster_exemplars, with_singletons
 from who_owns_mass_processing_spark.operators.connected_components import connected_components
 from who_owns_mass_processing_spark.operators.dedupe import minhash_signatures
-from who_owns_mass_processing_spark.operators.verify import (
-    verify_hamming,
-    verify_jaccard,
-    verify_psnr,
-)
+from who_owns_mass_processing_spark.operators.verify import verify_psnr
 from who_owns_mass_processing_spark.pipeline.checkpoint import StageCatalog
 
 
@@ -155,14 +151,9 @@ def run_pipeline(
             cap=cfg.band_bucket_cap, hard_cap=stop_cap,
         )
         cat.write("image_band_skew", skew)
-        ham = decode_pair_ids(
-            verify_hamming(
-                cands, reps.select("_sid", "phash"), "_sid", "phash",
-                cfg.hamming_radius,
-            ),
-            reps.select("_sid", "image_id"),
-            "image_id",
-        )
+        # cands carries the fused Hamming distance — no verify_hamming
+        # feature re-joins (guide §2.4; value emitted by hamming_pairs)
+        ham = decode_pair_ids(cands, reps.select("_sid", "image_id"), "image_id")
         # lossy pairs additionally need the decoded-pixel PSNR gate; the
         # bytes join touches only candidate pairs that already passed Hamming
         psnr_ok = verify_psnr(
