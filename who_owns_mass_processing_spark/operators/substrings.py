@@ -239,7 +239,15 @@ def substring_dup_spans(
     """
     occ = lgram_occurrences(df, id_col, text_col, min_len)
     dup = duplicated_grams(occ, id_col, min_count, cross_doc_only)
-    dup_occ = occ.join(dup, "gram_hash").select(id_col, "pos")
+    # SHUFFLE_HASH: on a self-similar corpus the duplicated-gram set is
+    # ~the distinct-gram set (sf0.1: ~1M keys, under the 64 MB auto-
+    # broadcast threshold), and the BHJ the planner picks builds that
+    # hash relation SINGLE-THREADED on the driver (measured: a 1.1 s
+    # driver-only gap ahead of the join stage).  A shuffled hash join
+    # builds per-partition across the cluster; at 100 TB the dup table
+    # could never broadcast anyway, so this is the scale strategy too
+    # (guide §3.1: pick the strategy deliberately).
+    dup_occ = occ.join(dup.hint("shuffle_hash"), "gram_hash").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(w) <= F.lit(int(min_len)), F.lit(0)
