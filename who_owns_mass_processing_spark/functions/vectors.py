@@ -180,7 +180,6 @@ def ann_lsh_pairs(
     # cell build) and each pass would re-run the bucket UDF + probe
     # explode; the table itself is (id, int, long) — tiny
     b = b.localCheckpoint(eager=True)
-    cands, _metrics = candidate_pairs(b, id_col, cap=cap, hard_cap=hard_cap)
     # map-side exact-cosine verify for bounded corpora: the vector
     # matrix broadcasts (same bound class as a Spark BHJ build side) and
     # one mapInArrow gather computes the IDENTICAL einsum the pair UDF
@@ -188,14 +187,25 @@ def ann_lsh_pairs(
     # per candidate through Arrow (only 16 bytes/pair cross).  Rounding
     # and the threshold filter STAY in Spark, so emitted values are
     # bit-identical to the join path.  Larger corpora keep the join
-    # shape (features cannot be worker-resident at scale).
+    # shape (features cannot be worker-resident at scale).  The matrix
+    # collect + broadcast runs on a side thread so it overlaps the
+    # census/cell phase (guide §2.6; see rep_pairs_from_sigs).
     n_corpus = slim.count()
-    if (
+    mapside = (
         n_corpus <= 100_000
         and n_corpus * int(sample["d"]) <= 12_500_000
         and df.schema[id_col].dataType.simpleString() == "bigint"
-    ):
-        scored = _cosine_pairs_mapside(cands, slim, id_col, vec_col)
+    )
+    bvar_future = None
+    if mapside:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        bvar_future = pool.submit(_build_cosine_mapside_bvar, slim, id_col, vec_col)
+        pool.shutdown(wait=False)
+    cands, _metrics = candidate_pairs(b, id_col, cap=cap, hard_cap=hard_cap)
+    if mapside:
+        scored = _cosine_pairs_mapside(cands, bvar_future.result())
     else:
         fa = slim.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
         fb = slim.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
@@ -211,14 +221,9 @@ def ann_lsh_pairs(
     )
 
 
-def _cosine_pairs_mapside(
-    cands: DataFrame, slim: DataFrame, id_col: str, vec_col: str
-) -> DataFrame:
-    """(a, b) candidate pairs -> (a, b, _cos) via a broadcast (n, dim)
-    matrix gather — the numpy math is the same einsum as
-    `cosine_pair_udf`, so values are bit-identical."""
-    import pyarrow as pa
-
+def _build_cosine_mapside_bvar(slim: DataFrame, id_col: str, vec_col: str):
+    """Collect + broadcast of the (n, dim) vector matrix (side-thread-
+    safe; see operators/verify.py build_jaccard_mapside_bvar)."""
     from who_owns_mass_processing_spark.operators.verify import (
         _fixed_matrix_from_list_column,
     )
@@ -241,7 +246,14 @@ def _cosine_pairs_mapside(
     # identical float op sequence, so gathered norms are bit-identical
     # to the per-pair computation they replace (2/3 of the kernel FLOPs)
     norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
-    bvar = cands.sparkSession.sparkContext.broadcast((ids_s, mat, norms))
+    return slim.sparkSession.sparkContext.broadcast((ids_s, mat, norms))
+
+
+def _cosine_pairs_mapside(cands: DataFrame, bvar) -> DataFrame:
+    """(a, b) candidate pairs -> (a, b, _cos) via a broadcast (n, dim)
+    matrix gather — the numpy math is the same einsum as
+    `cosine_pair_udf`, so values are bit-identical."""
+    import pyarrow as pa
 
     def gen(batches):
         ids_b, mat_b, norms_b = bvar.value

@@ -136,30 +136,39 @@ def _spark_round6(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 1e6 + 0.5 + 1e-9) / 1e6
 
 
-def _verify_jaccard_mapside(
-    pairs: DataFrame,
+def jaccard_mapside_eligible(
+    features: DataFrame,
+    id_col: str,
+    features_rows: int | None,
+    minhash_col: str | None,
+    num_perm: int | None,
+) -> bool:
+    """Static (pre-collect) eligibility for the broadcast map-side
+    Jaccard verify — shared by verify_jaccard and callers that build
+    the broadcast on a side thread (overlapped with the census phase)."""
+    return (
+        minhash_col is not None
+        and bool(num_perm)
+        and features_rows is not None
+        and features_rows <= BROADCAST_VERIFY_MAX_ROWS
+        and features.schema[id_col].dataType.simpleString() == "bigint"
+    )
+
+
+def build_jaccard_mapside_bvar(
     features: DataFrame,
     id_col: str,
     shingle_col: str,
-    threshold: float,
     minhash_col: str,
     num_perm: int,
-    gate: float,
-    ratio_floor: float,
     features_rows: int | None = None,
-) -> DataFrame | None:
-    """Broadcast map-side twin of the join-path verify (guide §3.1/§4.2):
-    the feature table (surrogate id, sorted shingle codes, minhash) is
-    collected once from its checkpoint, shipped as numpy arrays, and one
-    mapInArrow pass over the bare (a, b) candidate pairs fuses the
-    size-ratio gate, the minhash estimate gate, the exact sorted-array
-    intersect, and Spark-identical rounding — no per-pair join, no
-    interpreted higher-order expressions, and only 16 bytes/pair cross
-    the Python boundary.  Emits exactly the join path's rows (gate
-    constants and float compares are bit-identical IEEE ops; pinned in
-    tests/test_blocking.py)."""
-    import pyarrow as pa
-
+):
+    """Collect + numpy-layout + broadcast of the verify feature table;
+    returns the Broadcast or None (over the byte cap / non-contiguous
+    Arrow layout — caller falls back to the join path).  Safe to run on
+    a driver side thread (guide §2.6): the collect job and the broadcast
+    pickle then OVERLAP the census/cell phase instead of serializing
+    after it (measured ~0.7 s of driver-only gaps per LSH tier)."""
     if _bytes_pregate(features, shingle_col, features_rows, num_perm * 8):
         return None  # provably over the cap: skip the doomed collect
     collected = _collect_ragged_arrow(features, id_col, shingle_col, (minhash_col,))
@@ -173,7 +182,31 @@ def _verify_jaccard_mapside(
     mh = mh.astype(np.int64, copy=False)
     if flat.nbytes + mh.nbytes > BROADCAST_VERIFY_MAX_BYTES:
         return None  # caller falls back to the join path
-    bvar = pairs.sparkSession.sparkContext.broadcast((sids_s, mh, offs, flat, lens))
+    return features.sparkSession.sparkContext.broadcast(
+        (sids_s, mh, offs, flat, lens)
+    )
+
+
+def _verify_jaccard_mapside(
+    pairs: DataFrame,
+    bvar,
+    threshold: float,
+    num_perm: int,
+    gate: float,
+    ratio_floor: float,
+) -> DataFrame:
+    """Broadcast map-side twin of the join-path verify (guide §3.1/§4.2):
+    the feature table (surrogate id, sorted shingle codes, minhash) is
+    collected once from its checkpoint, shipped as numpy arrays, and one
+    mapInArrow pass over the bare (a, b) candidate pairs fuses the
+    size-ratio gate, the minhash estimate gate, the exact sorted-array
+    intersect, and Spark-identical rounding — no per-pair join, no
+    interpreted higher-order expressions, and only 16 bytes/pair cross
+    the Python boundary.  Emits exactly the join path's rows (gate
+    constants and float compares are bit-identical IEEE ops; pinned in
+    tests/test_blocking.py)."""
+    import pyarrow as pa
+
     thr = float(threshold)
     nperm = float(num_perm)
 
@@ -228,6 +261,26 @@ def _verify_jaccard_mapside(
     return pairs.select("a", "b").mapInArrow(gen, "a bigint, b bigint, jaccard double")
 
 
+def build_containment_mapside_bvar(
+    features: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    features_rows: int | None = None,
+):
+    """Collect + broadcast for the containment map-side verify; None
+    over the byte cap.  Side-thread-safe (see build_jaccard_mapside_bvar)."""
+    if _bytes_pregate(features, shingle_col, features_rows, 0):
+        return None  # provably over the cap: skip the doomed collect
+    collected = _collect_ragged_arrow(features, id_col, shingle_col)
+    if collected is None:
+        return None
+    sids_s, offs, flat, lens, _order, _tab = collected
+    flat = flat.astype(np.int64, copy=False)
+    if flat.nbytes > BROADCAST_VERIFY_MAX_BYTES:
+        return None  # caller falls back to the join path
+    return features.sparkSession.sparkContext.broadcast((sids_s, offs, flat, lens))
+
+
 def containment_verify_mapside(
     pairs: DataFrame,
     features: DataFrame,
@@ -235,6 +288,7 @@ def containment_verify_mapside(
     shingle_col: str,
     threshold: float,
     features_rows: int | None = None,
+    bvar_future=None,
 ) -> DataFrame | None:
     """Broadcast map-side twin of the containment verify: for each
     candidate (a, b) emit BOTH ordered directions (ra, rb, containment)
@@ -245,16 +299,14 @@ def containment_verify_mapside(
     denominators here are single-doc shingle counts)."""
     import pyarrow as pa
 
-    if _bytes_pregate(features, shingle_col, features_rows, 0):
-        return None  # provably over the cap: skip the doomed collect
-    collected = _collect_ragged_arrow(features, id_col, shingle_col)
-    if collected is None:
+    if bvar_future is not None:
+        bvar = bvar_future.result()
+    else:
+        bvar = build_containment_mapside_bvar(
+            features, id_col, shingle_col, features_rows=features_rows
+        )
+    if bvar is None:
         return None
-    sids_s, offs, flat, lens, _order, _tab = collected
-    flat = flat.astype(np.int64, copy=False)
-    if flat.nbytes > BROADCAST_VERIFY_MAX_BYTES:
-        return None  # caller falls back to the join path
-    bvar = pairs.sparkSession.sparkContext.broadcast((sids_s, offs, flat, lens))
     thr = float(threshold)
 
     def gen(batches):
@@ -308,24 +360,16 @@ def containment_verify_mapside(
     )
 
 
-def winnow_verify_mapside(
-    pairs: DataFrame,
+def build_winnow_mapside_bvar(
     features: DataFrame,
     id_col: str,
     fps_col: str,
     k: int,
-    min_shared: int,
     features_rows: int | None = None,
-) -> DataFrame | None:
-    """Broadcast map-side twin of the winnow-pair verify: n_shared =
-    |fps_a ∩ fps_b| over the per-doc fingerprint sets, filtered at
-    min_shared — an integer count, no rounding concerns.  Fingerprints
-    are k-char grams (k <= 8 required): each packs into a big-endian
-    uint64 preserving lexicographic order, so the sorted string arrays
-    stay sorted as codes and the intersect is the same searchsorted
-    merge the Jaccard tier uses."""
-    import pyarrow as pa
-
+):
+    """Collect + pack + broadcast for the winnow map-side verify; None
+    when ineligible (k > 8, byte cap, non-ascii grams).  Side-thread-
+    safe (see build_jaccard_mapside_bvar)."""
     if k > 8:
         return None
     if _bytes_pregate(features, fps_col, features_rows, 0):
@@ -362,7 +406,36 @@ def winnow_verify_mapside(
     sids_s, offs, flat, lens = _sorted_ragged(order, row_offs, packed, sids)
     if flat.nbytes > BROADCAST_VERIFY_MAX_BYTES:
         return None
-    bvar = pairs.sparkSession.sparkContext.broadcast((sids_s, offs, flat, lens))
+    return features.sparkSession.sparkContext.broadcast((sids_s, offs, flat, lens))
+
+
+def winnow_verify_mapside(
+    pairs: DataFrame,
+    features: DataFrame,
+    id_col: str,
+    fps_col: str,
+    k: int,
+    min_shared: int,
+    features_rows: int | None = None,
+    bvar_future=None,
+) -> DataFrame | None:
+    """Broadcast map-side twin of the winnow-pair verify: n_shared =
+    |fps_a ∩ fps_b| over the per-doc fingerprint sets, filtered at
+    min_shared — an integer count, no rounding concerns.  Fingerprints
+    are k-char grams (k <= 8 required): each packs into a big-endian
+    uint64 preserving lexicographic order, so the sorted string arrays
+    stay sorted as codes and the intersect is the same searchsorted
+    merge the Jaccard tier uses."""
+    import pyarrow as pa
+
+    if bvar_future is not None:
+        bvar = bvar_future.result()
+    else:
+        bvar = build_winnow_mapside_bvar(
+            features, id_col, fps_col, k, features_rows=features_rows
+        )
+    if bvar is None:
+        return None
     ms = int(min_shared)
 
     def gen(batches):
@@ -415,8 +488,15 @@ def verify_jaccard(
     num_perm: int | None = None,
     gate_sigmas: float = 6.5,
     features_rows: int | None = None,
+    mapside_bvar_future=None,
 ) -> DataFrame:
     """pairs(a,b) x features(id, shingles) -> (a, b, jaccard) passing rows.
+
+    mapside_bvar_future: optional Future whose result is the prebuilt
+    map-side broadcast (build_jaccard_mapside_bvar) — callers submit the
+    build on a side thread so the feature collect overlaps their census
+    phase; a None result falls back to the join path exactly like the
+    synchronous build.
 
     When `minhash_col`/`num_perm` are given, an ESTIMATE GATE runs before
     the exact shingle intersect: the fraction of equal minhash positions
@@ -451,21 +531,19 @@ def verify_jaccard(
     # broadcast numpy verify (gates + exact intersect fused, no joins).
     # `features_rows` is a caller-supplied UPPER BOUND on the feature
     # row count; corpora above the bound keep the equi-join shape.
-    if (
-        minhash_col is not None
-        and num_perm
-        and features_rows is not None
-        and features_rows <= BROADCAST_VERIFY_MAX_ROWS
-        and features.schema[id_col].dataType.simpleString() == "bigint"
-    ):
-        gate = threshold - gate_sigmas * (threshold * (1 - threshold) / num_perm) ** 0.5
-        fast = _verify_jaccard_mapside(
-            pairs, features, id_col, shingle_col, threshold,
-            minhash_col, num_perm, gate, float(threshold) - 1e-6,
-            features_rows=features_rows,
-        )
-        if fast is not None:  # None: collected bytes exceeded the cap
-            return fast
+    if jaccard_mapside_eligible(features, id_col, features_rows, minhash_col, num_perm):
+        if mapside_bvar_future is not None:
+            bvar = mapside_bvar_future.result()
+        else:
+            bvar = build_jaccard_mapside_bvar(
+                features, id_col, shingle_col, minhash_col, num_perm,
+                features_rows=features_rows,
+            )
+        if bvar is not None:  # None: collected bytes exceeded the cap
+            gate = threshold - gate_sigmas * (threshold * (1 - threshold) / num_perm) ** 0.5
+            return _verify_jaccard_mapside(
+                pairs, bvar, threshold, num_perm, gate, float(threshold) - 1e-6
+            )
 
     if minhash_col is not None and num_perm:
         gate = threshold - gate_sigmas * (threshold * (1 - threshold) / num_perm) ** 0.5
