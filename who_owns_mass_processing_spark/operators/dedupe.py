@@ -523,15 +523,17 @@ def containment_pairs_lsh(
     )
     ga = groups.select(F.col(id_col).alias("a"), "fingerprint")
     gb = groups.select(F.col(id_col).alias("b"), "fingerprint")
-    # empty-shingle docs are excluded (containment undefined) — their
-    # fingerprint is that of empty normalized text, detected via codes
-    nonempty = sigs.where(F.size("codes") > 0).select(
-        F.col(id_col).alias("a")
-    )
+    # empty-shingle docs are excluded (containment undefined).  Emptiness
+    # is a property of the FINGERPRINT (identical normalized text =>
+    # identical shingle codes), so the filter reads the CHECKPOINTED rep
+    # table instead of re-running the signature UDF corpus-wide — the
+    # previous sigs.where(size(codes) > 0) put a second full signature
+    # pass (and its subtree) into the plan just to test emptiness.
+    nonempty_fps = rep_sigs.where(F.size("codes") > 0).select("fingerprint")
     within = (
         ga.join(gb, "fingerprint")
         .where(F.col("a") != F.col("b"))
-        .join(nonempty, "a", "left_semi")
+        .join(nonempty_fps, "fingerprint", "left_semi")
         .select("a", "b", F.lit(1.0).alias("containment"))
     )
     # no dedup on the union: expanded rides rep pairs whose sides carry
