@@ -154,6 +154,13 @@ def run_pipeline(
         # cands carries the fused Hamming distance — no verify_hamming
         # feature re-joins (guide §2.4; value emitted by hamming_pairs)
         ham = decode_pair_ids(cands, reps.select("_sid", "image_id"), "image_id")
+        # pin the verified pair list: verify_psnr references it for the
+        # lossy tagging, the blob-id set, AND the passthrough branch, and
+        # the final output joins it again — without a lineage cut each
+        # reference re-ran the whole banding+pair-gen chain inside the
+        # stage write (the plan ends in a projection, so ReuseExchange
+        # never dedups it).  Bounded: verified pairs only.
+        ham = ham.localCheckpoint(eager=True)
         # lossy pairs additionally need the decoded-pixel PSNR gate; the
         # bytes join touches only candidate pairs that already passed Hamming
         psnr_ok = verify_psnr(
