@@ -373,6 +373,12 @@ def run_pipeline(
                 f_cap_cc = cc_pool.submit(_cap_cc)
                 f_img_cc = cc_pool.submit(_img_cc)
                 rows = f_cap_cc.result().join(f_img_cc.result(), "image_id")
+            # pin the (image_id, caption_cluster, image_cluster) rows:
+            # network_round references its input four times (edge part,
+            # two node parts, final attach) and each reference would
+            # re-run the two singleton joins + this join (bounded: one
+            # narrow row per image)
+            rows = rows.localCheckpoint(eager=True)
             return network_round(rows, ["caption_cluster", "image_cluster"])
 
         networks = roc(
